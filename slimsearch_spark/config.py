@@ -1,0 +1,85 @@
+"""Engine configuration and defaults.
+
+Mirrors the reference's option surface (slimsearch ``src/defaults.ts:5-49``,
+``src/typings.ts:98-331``) re-expressed as plain Python dataclasses. These are
+the *semantics* knobs; physical/layout knobs (buckets, salting, block size)
+live in :class:`IndexLayout`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Optional, Sequence, Union
+
+# Sentinel wildcard query (reference: src/symbols.ts:1)
+WILDCARD = object()
+
+# Combination operators (reference: src/constant.ts:5-7)
+OR = "or"
+AND = "and"
+AND_NOT = "and_not"
+
+# BM25+ defaults (reference: src/defaults.ts:5)
+DEFAULT_BM25 = {"k": 1.2, "b": 0.7, "d": 0.5}
+
+# Expansion weights (reference: src/defaults.ts:34)
+DEFAULT_WEIGHTS = {"fuzzy": 0.45, "prefix": 0.375}
+
+DEFAULT_MAX_FUZZY = 6  # reference: src/defaults.ts:31 (maxFuzzy)
+
+# Tokenizer split class (reference: src/constant.ts:3). Unicode Symbol chars
+# (+ = < > | $ ~ ^ `) are NOT separators — significant for source code.
+TOKEN_SPLIT_PATTERN = r"[\n\r\p{Z}\p{P}]+"
+
+
+@dataclass
+class SearchOptions:
+    """Per-query options (reference: src/typings.ts:98-222, defaults.ts:28-36)."""
+
+    combine_with: str = OR
+    prefix: Union[bool, Callable[[str, int, Sequence[str]], bool]] = False
+    fuzzy: Union[bool, float, Callable[[str, int, Sequence[str]], Any]] = False
+    max_fuzzy: int = DEFAULT_MAX_FUZZY
+    fields: Optional[Sequence[str]] = None
+    boost: Mapping[str, float] = field(default_factory=dict)
+    weights: Mapping[str, float] = field(default_factory=dict)
+    bm25: Mapping[str, float] = field(default_factory=lambda: dict(DEFAULT_BM25))
+    boost_term: Optional[Callable[[str, int, Sequence[str]], float]] = None
+    boost_document: Optional[Callable[..., float]] = None
+    filter: Optional[Callable[[dict], bool]] = None
+    top_k: Optional[int] = None  # north-star addition; reference returns all
+
+
+@dataclass
+class AutoSuggestOptions(SearchOptions):
+    """autoSuggest defaults: AND + prefix on last term (defaults.ts:38-41)."""
+
+    combine_with: str = AND
+
+    def __post_init__(self) -> None:
+        if self.prefix is False:
+            self.prefix = lambda term, index, terms: index == len(terms) - 1
+
+
+@dataclass
+class IndexConfig:
+    """Index-build options (reference createIndex, src/SearchIndex.ts:143-197)."""
+
+    fields: Sequence[str]
+    id_field: str = "id"
+    store_fields: Sequence[str] = ()
+    # 'jvm' = F.split/F.lower built-ins (whole-stage codegen fast path);
+    # 'regex_udf' = pandas UDF with the `regex` module (JS-parity-safe path).
+    # Both are validated equal on the parity corpora (tests/test_tokenize.py).
+    tokenizer: str = "jvm"
+    search_options: Optional[SearchOptions] = None
+
+
+@dataclass
+class IndexLayout:
+    """Physical layout knobs for the materialized index (scale path)."""
+
+    n_term_buckets: int = 64          # salted xxhash64(term) shuffle width
+    posting_block_size: int = 128     # docs per compressed block (block-max WAND)
+    hot_term_salts: int = 16          # salt fan-out for stopword-like hot terms
+    hot_term_df_threshold: int = 100_000  # df above which a term is "hot"

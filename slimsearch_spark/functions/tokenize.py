@@ -1,0 +1,96 @@
+"""Tokenization — reference parity: split on ``[\\n\\r\\p{Z}\\p{P}]+``.
+
+Reference: slimsearch ``src/constant.ts:3`` (SPACE_OR_PUNCTUATION) and
+``src/defaults.ts:15-16`` (tokenize + processTerm=lowercase). Unicode
+*Symbol* characters (``+ = < > | $ ~ ^``, backtick) are NOT separators —
+important for source code. Empty tokens are dropped by the falsy filter
+(``src/add.ts:112``, ``src/results.ts:315``).
+
+Two Spark paths, validated equal on the parity corpora:
+
+* ``jvm``: `F.split` + `F.lower` — Java regex supports the same one-letter
+  Unicode general-category classes; stays inside whole-stage codegen.
+* ``regex_udf``: vectorized pandas UDF using the Python ``regex`` module,
+  whose ``\\p{Z}/\\p{P}`` semantics match JS ``/u`` exactly — the
+  parity-safe path for exotic Unicode.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+import regex
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import TOKEN_SPLIT_PATTERN
+
+_SPLIT_RE = regex.compile(TOKEN_SPLIT_PATTERN)
+
+
+def tokenize_py(text: str) -> List[str]:
+    """Pure-Python tokenizer: raw tokens, split only (no lowercase, keeps
+    empty boundary tokens exactly like JS ``String.split``). Used by the
+    oracle and for driver-side query tokenization."""
+    if text is None:
+        return []
+    return _SPLIT_RE.split(text)
+
+
+def analyze_py(text: str) -> List[str]:
+    """tokenize → processTerm(lowercase) → drop falsy. The term stream that
+    actually reaches the index / the query executor."""
+    return [t.lower() for t in tokenize_py(text) if t]
+
+
+def tokens_col_jvm(col: Column) -> Column:
+    """JVM tokenizer: array of raw tokens (may contain '' at boundaries,
+    mirroring JS split semantics)."""
+    return F.split(col, TOKEN_SPLIT_PATTERN)
+
+
+def terms_col_jvm(col: Column) -> Column:
+    """JVM analyzed terms: lowercased, empties dropped."""
+    toks = tokens_col_jvm(col)
+    return F.filter(F.transform(toks, F.lower), lambda t: t != F.lit(""))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokens_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized parity tokenizer (raw tokens incl. empties)."""
+    return texts.map(lambda s: _SPLIT_RE.split(s) if s is not None else [])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def terms_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized parity analyzer (lowercased, empties dropped)."""
+
+    def analyze(s):
+        if s is None:
+            return []
+        return [t.lower() for t in _SPLIT_RE.split(s) if t]
+
+    return texts.map(analyze)
+
+
+def terms_col(col: Column, tokenizer: str = "jvm") -> Column:
+    """Analyzed-term array column under the configured tokenizer path."""
+    if tokenizer == "jvm":
+        return terms_col_jvm(col)
+    if tokenizer == "regex_udf":
+        return terms_udf(col)
+    raise ValueError(f"unknown tokenizer: {tokenizer}")
+
+
+def raw_tokens_col(col: Column, tokenizer: str = "jvm") -> Column:
+    """Raw-token array column (pre-processTerm) — field length uses
+    ``size(array_distinct(raw_tokens))`` counting the '' token like the
+    reference's ``new Set(tokens).size`` counts it (src/add.ts:96)."""
+    if tokenizer == "jvm":
+        return tokens_col_jvm(col)
+    if tokenizer == "regex_udf":
+        return tokens_udf(col)
+    raise ValueError(f"unknown tokenizer: {tokenizer}")
