@@ -1,0 +1,119 @@
+"""Distributed index build — the Spark-native equivalent of slimsearch
+``addAll`` (src/add.ts:71-131) re-expressed as one declarative pass.
+
+Pipeline (SURVEY.md §3.1):
+
+    docs ─ assign_doc_ids ─ tokenize (JVM split / Arrow UDF) ─ explode
+         ─ groupBy(term, field_id, doc_id).count()            → postings
+         ─ size(array_distinct(raw_tokens)) per (doc, field)  → doc_stats
+         ─ doc_stats.groupBy(field_id).agg(avg, count)        → corpus stats
+
+Everything is built-in Catalyst-optimizable DataFrame ops: the tf aggregation
+is a partial+final hash aggregate (map-side combine), the scan prunes to the
+indexed columns only, and no per-row Python runs in the JVM tokenizer path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.tokenize import raw_tokens_col, terms_col
+
+
+def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
+                   id_col: str = "doc_id") -> DataFrame:
+    """Dense 0-based doc ids in (order_cols) order, without a single-partition
+    global window: range-partition on the key, per-partition row_number, then
+    add broadcast per-partition offsets. ``order_cols`` must be a unique key.
+
+    Replaces the reference's insertion-order ``_nextId`` (src/add.ts:25-37)
+    with a deterministic total order — scalable to 10^12 rows because the only
+    driver-side state is one count per partition.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    local = ranged.withColumn("__rn", F.row_number().over(w))
+    counts = {r["__pid"]: r["cnt"] for r in
+              local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: Dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
+                       for x in pid_off]),
+        F.col("__pid"))
+    return (local
+            .withColumn(id_col, (offset_expr + F.col("__rn") - 1).cast("long"))
+            .drop("__pid", "__rn"))
+
+
+def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
+    """→ (doc_id, field_id, terms array<string>, field_len int).
+
+    ``field_len`` = count of UNIQUE RAW tokens (pre-processTerm, including the
+    empty boundary token, exactly like ``new Set(tokens).size`` over a JS
+    split — reference src/add.ts:96, parity note P1)."""
+    parts = []
+    for fid, fname in enumerate(config.fields):
+        part = (docs
+                .where(F.col(fname).isNotNull())
+                .select(
+                    "doc_id",
+                    F.lit(fid).alias("field_id"),
+                    terms_col(F.col(fname).cast("string"),
+                              config.tokenizer).alias("terms"),
+                    F.size(F.array_distinct(
+                        raw_tokens_col(F.col(fname).cast("string"),
+                                       config.tokenizer))).alias("field_len"),
+                ))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_postings(tokenized: DataFrame) -> DataFrame:
+    """→ postings(term, field_id, doc_id, tf). One shuffle (hash agg with
+    map-side combine); key includes doc_id so stopword skew does not
+    concentrate — skew handling matters at the posting-list *pack* stage
+    (operators/compact.py), not here."""
+    return (tokenized
+            .select("doc_id", "field_id", F.explode("terms").alias("term"))
+            .groupBy("term", "field_id", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf")))
+
+
+def build_doc_stats(tokenized: DataFrame) -> DataFrame:
+    """→ doc_stats(doc_id, field_id, field_len)."""
+    return tokenized.select("doc_id", "field_id", "field_len")
+
+
+def corpus_stats(doc_stats: DataFrame) -> Tuple[Dict[int, float], Dict[int, int]]:
+    """Per-field average field length + doc-with-field counts (tiny collect).
+
+    Batch mean == the reference's running mean whenever every doc has the
+    field (parity note P3); the known order-dependent divergence when fields
+    are sparse is documented in SURVEY.md §4."""
+    rows = (doc_stats.groupBy("field_id")
+            .agg(F.avg("field_len").alias("avg_len"),
+                 F.count("*").alias("n"))
+            .collect())
+    return ({r["field_id"]: float(r["avg_len"]) for r in rows},
+            {r["field_id"]: int(r["n"]) for r in rows})
+
+
+def build_term_dict(postings: DataFrame) -> DataFrame:
+    """→ terms(term, field_id, df) — the query-expansion dictionary, tiny
+    relative to postings; also carries per-(term, field) document frequency
+    for the no-tombstone fast path."""
+    return (postings.groupBy("term", "field_id")
+            .agg(F.count("*").cast("int").alias("df")))

@@ -1,0 +1,173 @@
+"""Query-side scoring plans.
+
+The reference's per-term scoring kernel (src/results.ts:84-286) becomes one
+declarative plan per string query:
+
+    broadcast(expansion) ⋈ live postings ⋈ doc_stats
+        → BM25+ column math (whole-stage codegen)
+        → groupBy(branch, doc_id)                 # per-term RawResult
+        → combinator (union-agg / anti-join)      # OR / AND / AND_NOT
+        → × quality → top-k
+
+The expansion table (a handful of rows per query term) is always broadcast;
+document frequency is computed over the matched, tombstone-filtered postings
+with a window — reproducing the reference's lazy delete-on-search df
+semantics (src/results.ts:109-114, parity note M7) without mutating state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("qterms", T.ArrayType(T.StringType())),
+    T.StructField("match", T.ArrayType(T.StructType([
+        T.StructField("branch", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("field_id", T.IntegerType()),
+    ]))),
+])
+
+EXPANSION_SCHEMA = T.StructType([
+    T.StructField("branch", T.IntegerType()),
+    T.StructField("query_term", T.StringType()),
+    T.StructField("derived_term", T.StringType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("weight", T.DoubleType()),
+    T.StructField("term_boost", T.DoubleType()),
+])
+
+
+def empty_result(spark) -> DataFrame:
+    return spark.createDataFrame([], RESULT_SCHEMA)
+
+
+def bm25_col(tf, df, n_docs: int, field_len, avg_len, bm25: Mapping[str, float]):
+    """BM25+ as pure column arithmetic (reference src/utils.ts:137-152)."""
+    k = float(bm25["k"])
+    b = float(bm25["b"])
+    d = float(bm25["d"])
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+    norm = tf + k * (1.0 - b + b * field_len / avg_len)
+    return idf * (F.lit(d) + (tf * (k + 1.0)) / norm)
+
+
+def score_expansion(spark,
+                    postings: DataFrame,
+                    doc_stats: DataFrame,
+                    expansion_rows: List[tuple],
+                    searched_field_ids: Sequence[int],
+                    field_boost_by_id: Mapping[int, float],
+                    avg_field_length: Mapping[int, float],
+                    doc_count: int,
+                    bm25: Mapping[str, float],
+                    doc_boost_df: Optional[DataFrame] = None) -> DataFrame:
+    """Score all branches of one string query in a single joined plan.
+
+    ``expansion_rows``: (branch, query_term, derived_term, rank, weight,
+    term_boost) — tiny, broadcast. ``postings`` must already be
+    tombstone-filtered. Returns one row per (branch, doc) with the per-branch
+    RawResult fields (reference src/results.ts:84-168).
+    ``doc_boost_df``: optional (doc_id, derived_term?, doc_boost) — rows with
+    doc_boost NULL/0 are dropped (falsy ⇒ skip, src/results.ts:123-126).
+    """
+    if not expansion_rows:
+        return empty_result(spark)
+
+    exp = spark.createDataFrame(expansion_rows, EXPANSION_SCHEMA)
+
+    m = (postings
+         .where(F.col("field_id").isin(list(searched_field_ids)))
+         .join(F.broadcast(exp),
+               postings["term"] == F.col("derived_term"), "inner"))
+
+    # df per (derived term, field): count of live docs in the posting list —
+    # matches the reference's post-lazy-cleanup matchingFields (M7).
+    # Partitioned by branch too: the same derived term in two branches would
+    # otherwise double-count.
+    w = Window.partitionBy("branch", "derived_term", "field_id")
+    m = m.withColumn("df", F.count("*").over(w).cast("double"))
+
+    m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
+
+    avg_map = F.create_map(*[F.lit(x) for fid in searched_field_ids
+                             for x in (fid, float(avg_field_length.get(fid, 0.0)))])
+    boost_map = F.create_map(*[F.lit(x) for fid in searched_field_ids
+                               for x in (fid, float(field_boost_by_id.get(fid, 1.0)))])
+
+    raw = bm25_col(F.col("tf").cast("double"), F.col("df"), doc_count,
+                   F.col("field_len").cast("double"),
+                   F.element_at(avg_map, F.col("field_id")), bm25)
+    weighted = (F.col("weight") * F.col("term_boost")
+                * F.element_at(boost_map, F.col("field_id")) * raw)
+
+    if doc_boost_df is not None:
+        m = m.join(F.broadcast(doc_boost_df), ["doc_id", "derived_term"], "inner")
+        weighted = weighted * F.col("doc_boost")
+
+    scored = m.withColumn("weighted", weighted)
+
+    return (scored
+            .groupBy("branch", "doc_id")
+            .agg(F.sum("weighted").alias("score"),
+                 F.array_sort(F.collect_set(
+                     F.struct(F.col("branch"), F.col("rank"),
+                              F.col("derived_term").alias("term"),
+                              F.col("field_id")))).alias("match"),
+                 F.first("query_term").alias("qterm"))
+            .select("doc_id", "score",
+                    F.array("qterm").alias("qterms"), "match", "branch"))
+
+
+def combine_results(spark, branches: List[DataFrame], combine_with: str) -> DataFrame:
+    """OR / AND / AND_NOT over branch result DFs (reference src/utils.ts:88-134).
+
+    OR  = union-all then re-aggregate per doc.
+    AND = same, keeping docs present in every branch.
+    AND_NOT = first branch anti-joined against the union of the rest.
+    """
+    op = combine_with.lower()
+    if op not in ("or", "and", "and_not"):
+        raise ValueError(f"Invalid combination operator: {combine_with}")
+    branches = [b for b in branches if b is not None]
+    if not branches:
+        return empty_result(spark)
+    if len(branches) == 1:
+        return branches[0].select("doc_id", "score", "qterms", "match")
+
+    if op == "and_not":
+        rest = branches[1].select("doc_id")
+        for b in branches[2:]:
+            rest = rest.unionByName(b.select("doc_id"))
+        return (branches[0]
+                .join(rest.distinct(), "doc_id", "left_anti")
+                .select("doc_id", "score", "qterms", "match"))
+
+    tagged = []
+    for i, b in enumerate(branches):
+        tagged.append(b.select("doc_id", "score", "qterms", "match",
+                               F.lit(i).alias("__branch_no")))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+
+    agg = (u.groupBy("doc_id")
+           .agg(F.sum("score").alias("score"),
+                F.array_distinct(F.flatten(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("__branch_no"), F.col("qterms"))))
+                    .getField("qterms"))).alias("qterms"),
+                F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list("match")))).alias("match"),
+                F.count_distinct("__branch_no").alias("__n")))
+    if op == "and":
+        agg = agg.where(F.col("__n") == len(branches))
+    return agg.select("doc_id", "score", "qterms", "match")
