@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family (SURVEY.md §2 +
+training-data-pipeline ops), each with a DuckDB ``oracle_sql()`` twin.
+Semantics are the slimsearch reference's (BM25+ k=1.2 b=0.7 d=0.5, unique-
+raw-token field lengths, prefix weight 0.375·len/(len+0.3·d), fuzzy weight
+0.45·len/(len+d), quality multiplier = #matched query terms).
 """
 
 from __future__ import annotations
@@ -12,27 +12,587 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slimsearch_spark.config import IndexConfig
+from slimsearch_spark.engine import SparkSearchIndex
+from slimsearch_spark.operators.build import (build_doc_stats, build_postings,
+                                              build_term_dict, tokenize_fields)
+from slimsearch_spark.operators import dedup as dd
+from slimsearch_spark.operators import textstats as ts
+from slimsearch_spark.operators import similarity as sim
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+_INDEX_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> SparkSearchIndex:
+    key = ("idx", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                          store_fields=["lang", "source"])
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    return _INDEX_CACHE[key]
+
+
+def _search_scores(idx: SparkSearchIndex, query, **opts) -> DataFrame:
+    return (idx.search_df(query, **opts)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def _tokenized(spark, sf_dir):
+    cfg = IndexConfig(fields=["text"], id_field="doc_id")
+    return tokenize_fields(_docs(spark, sf_dir), cfg)
+
+
+# ------------------------------------------------------------ Spark side
+
+def q_postings(spark, sf_dir):
+    """B2-B5: inverted-index postings (term, doc_id, tf)."""
+    return (build_postings(_tokenized(spark, sf_dir))
+            .select("term", "doc_id", "tf"))
+
+
+def q_doc_stats(spark, sf_dir):
+    """B6: per-doc field length = unique raw tokens (parity note P1)."""
+    return (build_doc_stats(_tokenized(spark, sf_dir))
+            .select("doc_id", "field_len"))
+
+
+def q_term_stats(spark, sf_dir):
+    """Term dictionary with df + collection frequency."""
+    p = build_postings(_tokenized(spark, sf_dir))
+    return (p.groupBy("term")
+            .agg(F.count("*").cast("int").alias("df"),
+                 F.sum("tf").cast("bigint").alias("cf")))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Q1/Q6/Q7: flagship BM25 OR top-10 for 'spark join merge'."""
+    return _search_scores(_index(spark, sf_dir), "spark join merge", top_k=10)
+
+
+def q_bm25_and(spark, sf_dir):
+    """Q8 AND combinator: 'spark join'."""
+    return _search_scores(_index(spark, sf_dir), "spark join",
+                          combineWith="AND")
+
+
+def q_bm25_and_not(spark, sf_dir):
+    """Q8 AND_NOT combinator: 'spark' minus 'join'."""
+    return _search_scores(_index(spark, sf_dir), "spark join",
+                          combineWith="AND_NOT")
+
+
+def q_prefix_search(spark, sf_dir):
+    """Q5 prefix expansion: one-char prefix 's'."""
+    return _search_scores(_index(spark, sf_dir), "s", prefix=True)
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Q5/S5 fuzzy expansion: 'spak' within edit distance 1."""
+    return _search_scores(_index(spark, sf_dir), "spak", fuzzy=1)
+
+
+def q_wildcard(spark, sf_dir):
+    """Q3: wildcard — every live doc, score 1."""
+    from slimsearch_spark.config import WILDCARD
+    idx = _index(spark, sf_dir)
+    return (idx.search_df(WILDCARD)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_search_filtered(spark, sf_dir):
+    """Q10: stored-field filter (lang = 'en') on 'merge'."""
+    idx = _index(spark, sf_dir)
+    return (idx.search_df("merge")
+            .where(F.col("lang") == "en")
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_autosuggest(spark, sf_dir):
+    """Q11: autoSuggest('spa') — phrase, mean score."""
+    idx = _index(spark, sf_dir)
+    rows = [(r["suggestion"], round(r["score"], 6))
+            for r in idx.auto_suggest("spa")]
+    return spark.createDataFrame(rows, "suggestion string, score double")
+
+
+def q_search_after_discard(spark, sf_dir):
+    """M3/M7: tombstone docs (doc_id % 7 == 0), search 'spark' — df and
+    averages must reflect lazy cleanup."""
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang"])
+    idx = SparkSearchIndex.build(_docs(spark, sf_dir), cfg,
+                                 order_cols=["doc_id"])
+    victims = [r["doc_id"] for r in
+               _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+    idx.discard_many(victims)
+    return _search_scores(idx, "spark")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: winner per distinct content."""
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_near_dup_minhash(spark, sf_dir):
+    """MinHash + LSH banding + exact-Jaccard verify (threshold 0.5)."""
+    return dd.near_dup_pairs(_docs(spark, sf_dir), k=8, rows_per_band=2,
+                             threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit tf-weighted SimHash fingerprints."""
+    return dd.simhash16(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language heuristic."""
+    return ts.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality features: token counts, TTR, mean token length, gate."""
+    return ts.text_quality(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalized-token-stream md5 fingerprint."""
+    return ts.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return sim.brute_force_topk(emb, q, k=10, exclude_id=0)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (8 hyperplanes, seed 42), cosine re-rank."""
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return sim.lsh_topk(emb, q, k=10, n_planes=8, seed=42, exclude_id=0)
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.encode("text", "UTF-8").alias("__b"))
+            .select("doc_id",
+                    F.octet_length("__b").alias("n_bytes"),
+                    F.md5(F.col("__b")).alias("content_md5")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 on sf0.001."""
+    return q_bm25_topk(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "postings": q_postings,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_and": q_bm25_and,
+        "bm25_and_not": q_bm25_and_not,
+        "prefix_search": q_prefix_search,
+        "fuzzy_search": q_fuzzy_search,
+        "wildcard": q_wildcard,
+        "search_filtered": q_search_filtered,
+        "autosuggest": q_autosuggest,
+        "search_after_discard": q_search_after_discard,
+        "dedup_exact": q_dedup_exact,
+        "near_dup_minhash": q_near_dup_minhash,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "binary_meta": q_binary_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+# tokenizer: same split class as the engine (JS \p{Z}\p{P} == RE2 \p{Z}\p{P})
+_TOK = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM documents
+)"""
+
+_POSTINGS = _TOK + r""",
+postings AS (
+  SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2
+)"""
+
+_STATS = r""",
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+  FROM documents
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat)"""
+
+
+def _bm25_sql(terms_values: str, quality: str, having: str = "",
+              limit: str = "") -> str:
+    """Shared BM25 oracle: q(term[, weight]) → scored docs."""
+    return f"""
+WITH {_POSTINGS}{_STATS},
+q AS ({terms_values}),
+matched AS (
+  SELECT p.term, q.weight, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term,
+         m.weight * ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+),
+agg AS (
+  SELECT doc_id, sum(s) AS raw, {quality} AS quality
+  FROM scored GROUP BY doc_id {having}
+)
+SELECT doc_id, round(raw * quality, 6) AS score
+FROM agg
+{('ORDER BY raw * quality DESC, doc_id ' + limit) if limit else ''}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    exact_terms = "SELECT unnest(['spark','join','merge']) AS term, 1.0 AS weight"
+    sql = {}
+
+    sql["postings"] = f"WITH {_POSTINGS} SELECT term, doc_id, tf FROM postings"
+
+    sql["doc_stats"] = r"""
+SELECT doc_id,
+       length(list_distinct(regexp_split_to_array(text,
+           '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+FROM documents"""
+
+    sql["term_stats"] = f"""
+WITH {_POSTINGS}
+SELECT term, count(*)::INT AS df, sum(tf)::BIGINT AS cf
+FROM postings GROUP BY term"""
+
+    sql["bm25_topk"] = _bm25_sql(
+        exact_terms, quality="count(DISTINCT term)", limit="LIMIT 10")
+
+    sql["bm25_and"] = _bm25_sql(
+        "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",
+        having="HAVING count(DISTINCT term) = 2",
+        quality="count(DISTINCT term)")
+
+    sql["bm25_and_not"] = f"""
+WITH {_POSTINGS}{_STATS},
+q AS (SELECT 'spark' AS term, 1.0 AS weight),
+matched AS (
+  SELECT p.term, q.weight, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         m.weight * ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')
+GROUP BY doc_id"""
+
+    # prefix: derived terms LIKE 's%', weight 0.375·len/(len+0.3·(len-1))
+    prefix_terms = r"""
+  SELECT term,
+         CASE WHEN term = 's' THEN 1.0
+              ELSE 0.375 * length(term) /
+                   (length(term) + 0.3 * (length(term) - 1)) END AS weight
+  FROM (SELECT DISTINCT term FROM postings) WHERE term LIKE 's%'"""
+    sql["prefix_search"] = _bm25_sql(prefix_terms, quality="1")
+
+    fuzzy_terms = r"""
+  SELECT term,
+         CASE WHEN term = 'spak' THEN 1.0
+              ELSE 0.45 * length(term) /
+                   (length(term) + levenshtein(term, 'spak')) END AS weight
+  FROM (SELECT DISTINCT term FROM postings)
+  WHERE levenshtein(term, 'spak') <= 1"""
+    sql["fuzzy_search"] = _bm25_sql(fuzzy_terms, quality="1")
+
+    sql["wildcard"] = "SELECT doc_id, 1.0::DOUBLE AS score FROM documents"
+
+    sql["search_filtered"] = f"""
+WITH {_POSTINGS}{_STATS},
+q AS (SELECT 'merge' AS term, 1.0 AS weight),
+matched AS (
+  SELECT p.term, q.weight, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+)
+SELECT s.doc_id, round(sum(s.s), 6) AS score
+FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+WHERE dd.lang = 'en'
+GROUP BY s.doc_id"""
+
+    # autoSuggest('spa'): prefix expansion, per-doc phrase = matched derived
+    # terms (sorted), suggestion score = mean of member doc scores
+    sql["autosuggest"] = f"""
+WITH {_POSTINGS}{_STATS},
+q AS (
+  SELECT term,
+         CASE WHEN term = 'spa' THEN 1.0
+              ELSE 0.375 * length(term) /
+                   (length(term) + 0.3 * (length(term) - 3)) END AS weight
+  FROM (SELECT DISTINCT term FROM postings) WHERE term LIKE 'spa%'
+),
+matched AS (
+  SELECT p.term, q.weight, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term,
+         m.weight * ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+),
+per_doc AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY term) AS suggestion,
+         sum(s) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT suggestion, round(avg(score), 6) AS score
+FROM per_doc GROUP BY suggestion"""
+
+    # tombstones: doc_id % 7 == 0 discarded → stats and df over survivors
+    sql["search_after_discard"] = f"""
+WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\\n\\r\\p{{Z}}\\p{{P}}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM live
+),
+postings AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2),
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\\n\\r\\p{{Z}}\\p{{P}}]+')))::INT AS field_len
+  FROM live
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
+matched AS (
+  SELECT p.doc_id, p.tf, count(*) OVER () AS df
+  FROM postings p WHERE p.term = 'spark'
+)
+SELECT m.doc_id,
+       round(ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+         * (0.5 + (m.tf * 2.2) /
+            (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len))), 6)
+         AS score
+FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)"""
+
+    sql["near_dup_minhash"] = f"""
+WITH {_TOK},
+tset AS (SELECT DISTINCT doc_id, term FROM tok),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, j.j,
+         min(md5(term || '#' || j.j)) AS h
+  FROM tset CROSS JOIN (SELECT unnest(range(8)) AS j) j
+  GROUP BY doc_id, j.j
+),
+bands AS (
+  SELECT doc_id, j // 2 AS band_id,
+         string_agg(h, '|' ORDER BY j) AS band_sig
+  FROM sigs GROUP BY doc_id, j // 2
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+   AND l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cands c
+  JOIN tset ta ON ta.doc_id = c.a
+  JOIN tset tb ON tb.doc_id = c.b AND tb.term = ta.term
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       round(coalesce(i.i, 0) * 1.0 /
+             (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE coalesce(i.i, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5"""
+
+    bit_cases = ",\n".join(
+        f"  sum(CASE WHEN substring(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s_{i}"
+        for i in range(16))
+    bit_pack = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    sql["simhash"] = f"""
+WITH {_TOK},
+tf AS (
+  SELECT doc_id, term, count(*)::INT AS tf, md5(term) AS h
+  FROM tok GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id,
+{bit_cases}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, ({bit_pack})::INT AS simhash FROM bits"""
+
+    stop = "', '".join(ts.EN_STOPWORDS)
+    sql["lang_id"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{{Z}}\p{{P}}]+'),
+             x -> lower(x)), x -> x <> '') AS terms
+  FROM documents
+)
+SELECT doc_id,
+       round(length(list_filter(terms, x -> x IN ('{stop}'))) * 1.0 /
+             greatest(length(terms), 1), 6) AS en_ratio,
+       CASE WHEN length(list_filter(terms, x -> x IN ('{stop}'))) * 1.0 /
+                 greatest(length(terms), 1) > 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM t"""
+
+    sql["text_quality"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '') AS terms
+  FROM documents
+)
+SELECT doc_id,
+       length(terms)::INT AS n_tokens,
+       length(list_distinct(terms))::INT AS n_unique,
+       round(length(list_distinct(terms)) * 1.0 /
+             greatest(length(terms), 1), 6) AS ttr,
+       round(list_sum(list_transform(terms, x -> length(x))) * 1.0 /
+             greatest(length(terms), 1), 6) AS mean_token_len,
+       (length(terms) >= 10 AND length(terms) <= 100000
+        AND length(list_distinct(terms)) * 1.0 /
+            greatest(length(terms), 1) > 0.1) AS is_quality
+FROM t"""
+
+    sql["token_counts"] = rf"""
+SELECT doc_id,
+       length(list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x <> ''))::INT AS ws_tokens,
+       length(regexp_extract_all(lower(text),
+           '{ts.BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
+FROM documents"""
+
+    sql["fingerprint"] = r"""
+SELECT doc_id,
+       md5(array_to_string(list_filter(list_transform(
+           regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+           x -> lower(x)), x -> x <> ''), ' ')) AS fp
+FROM documents"""
+
+    sql["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY list_dot_product(embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+LIMIT 10"""
+
+    # sign-LSH with the same deterministic hyperplanes (numpy seed 42)
+    planes = sim.hyperplanes(64, 8, 42)
+    plane_lits = ["[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+                  for h in planes]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(8))
+    sql["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM b CROSS JOIN q
+WHERE b.bucket = q.qb AND b.vec_id <> 0
+ORDER BY list_dot_product(b.v, q.qv) /
+         (sqrt(list_dot_product(b.v, b.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, b.vec_id
+LIMIT 10"""
+
+    sql["binary_meta"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents"""
+
+    return sql

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: files_per_sec (index-build throughput, the BASELINE.json
+headline) and doc counts for context.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder
+             .master(f"local[{cpus}]")
+             .appName("slimsearch_spark_bench")
+             .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from slimsearch_spark.config import IndexConfig
+    from slimsearch_spark.engine import SparkSearchIndex
+
+    timings: dict = {}
+    t_total0 = time.time()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # index build (files/sec headline) — materialize postings + stats
+    t0 = time.time()
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang", "source"])
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["doc_id"])
+    idx.postings.count()
+    idx.doc_stats.count()
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    E._INDEX_CACHE[("idx", sf_dir)] = idx  # reuse for the query benches
+
+    bench_queries = [
+        "bm25_topk", "bm25_and", "bm25_and_not", "prefix_search",
+        "fuzzy_search", "autosuggest", "search_filtered",
+        "dedup_exact", "near_dup_minhash", "simhash", "lang_id",
+        "text_quality", "token_counts", "fingerprint",
+        "ann_cosine_topk", "ann_lsh_topk",
+    ]
+    qs = E.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total0
+    out = {
+        "metric": "slimsearch_spark_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "files_per_sec": round(n_docs / build_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

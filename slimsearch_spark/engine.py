@@ -387,6 +387,36 @@ class SparkSearchIndex:
         for e in ext_ids:
             self.discard(e)
 
+    def discard_many(self, ext_ids: Sequence) -> None:
+        """Batch tombstone (reference discardAll, src/remove.ts:105-120) with
+        one lookup job instead of per-id round-trips. The batched
+        average-inverse equals the sequential one exactly (removing a set
+        from a running mean is order-independent when every doc has the
+        field)."""
+        ids = list(ext_ids)
+        rows = (self.docs.where(F.col(self.config.id_field).isin(ids))
+                .select("doc_id").collect())
+        doc_ids = {int(r["doc_id"]) for r in rows} - set(self.tombstones)
+        if len(doc_ids) != len(ids):
+            raise ValueError("cannot discard: some IDs not in the index")
+        tomb = self.spark.createDataFrame([(d,) for d in doc_ids],
+                                          "doc_id long")
+        sums = (self.doc_stats.join(F.broadcast(tomb), "doc_id", "left_semi")
+                .groupBy("field_id")
+                .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+                .collect())
+        n = self.doc_count
+        for r in sums:
+            fid, s, c = r["field_id"], r["s"], r["c"]
+            old = self.avg_field_length.get(fid, 0.0)
+            if n - c <= 0:
+                self.avg_field_length[fid] = 0.0
+            else:
+                self.avg_field_length[fid] = (old * n - s) / (n - c)
+        self.tombstones.extend(sorted(doc_ids))
+        self.doc_count -= len(doc_ids)
+        self.dirt_count += len(doc_ids)
+
     def vacuum(self) -> None:
         """Compaction rewrite (reference src/vacuum.ts:23-108): drop postings
         and stats of tombstoned docs, reset dirt."""
