@@ -446,9 +446,22 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)"""
 
-    sql["near_dup_minhash"] = f"""
-WITH {_TOK},
-tset AS (SELECT DISTINCT doc_id, term FROM tok),
+    sql["near_dup_minhash"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(length(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+  FROM toks
+),
+tset AS (SELECT DISTINCT doc_id, term FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY doc_id),
 sigs AS (
   SELECT doc_id, j.j,

@@ -33,6 +33,26 @@ def doc_terms(docs: DataFrame, text_col: str = "text",
         .withColumnRenamed(id_col, "doc_id"))
 
 
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) distinct n-gram token shingles — the unit set for
+    MinHash/Jaccard. Shingles discriminate near-duplicates where raw token
+    sets saturate (small vocabularies)."""
+    toks = terms_col(F.col(text_col))
+    # F.sequence(1, 0) counts DOWN — docs shorter than n tokens need an
+    # explicit empty shingle list
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                 ).otherwise(F.expr("cast(array() as array<int>)"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]))
+    return (docs.select(id_col, F.explode(
+        F.array_distinct(sh)).alias("term"))
+        .withColumnRenamed(id_col, "doc_id"))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """→ (text_md5, keep_doc_id, n_dups): one winner (min id) per distinct
@@ -79,12 +99,13 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> 
 def near_dup_pairs(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 8,
                    rows_per_band: int = 2,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   shingle_n: int = 3) -> DataFrame:
     """MinHash-LSH near-duplicate detection with exact Jaccard verification.
 
-    → (a, b, jaccard) for candidate pairs with Jaccard(token sets) ≥
-    threshold. The expensive exact verify runs only on LSH collisions."""
-    terms = doc_terms(docs, text_col, id_col).cache()
+    → (a, b, jaccard) for candidate pairs with Jaccard(n-gram shingle sets)
+    ≥ threshold. The expensive exact verify runs only on LSH collisions."""
+    terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
     sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cands = lsh_candidate_pairs(minhash_signatures(terms, k), k, rows_per_band)
     # intersection size via join on term

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+default extractor is a deterministic fake over the raw bytes, and
+``decode_image`` raises NotImplementedError with the integration point
+documented. The Spark-side plumbing — schema, batch iteration, partitioning,
+UDF signatures — is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("payload", T.BinaryType()),     # opaque bytes
+    T.StructField("meta", T.StructType([          # typed metadata
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("byte_mean", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_image(payload: bytes):
+    """Integration point for a real decoder (PIL/libvips/ffmpeg). Not
+    available in this container."""
+    raise NotImplementedError(
+        "image decode requires an imaging library; wire PIL/vips here")
+
+
+def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for decode→embed: a histogram-ish projection
+    of the raw bytes. Keeps the pipeline testable end-to-end."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(b.astype(np.float32), dim)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks],
+                    dtype=np.float32)
+
+
+def extract_features(media: DataFrame,
+                     feature_fn: Callable[[bytes], np.ndarray] = fake_feature,
+                     batch_hint: Optional[int] = None) -> DataFrame:
+    """media(MEDIA_SCHEMA) → features(FEATURE_SCHEMA) via mapInPandas.
+
+    Arrow batches stream through Python once; repartition upstream to bound
+    per-task payload memory (binary columns dominate the batch size — at
+    scale, set spark.sql.execution.arrow.maxRecordsPerBatch to keep batches
+    ~64 MB)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [feature_fn(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "byte_mean": [float(np.frombuffer(p, dtype=np.uint8).mean())
+                              if len(p) else 0.0 for p in pdf["payload"]],
+                "feature": [f.tolist() for f in feats],
+            })
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Build a MEDIA_SCHEMA table from a text corpus (payload = utf-8 bytes)
+    — deterministic fixture for the plumbing tests."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.length(text_col).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms")).alias("meta"))

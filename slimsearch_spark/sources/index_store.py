@@ -1,0 +1,188 @@
+"""Index persistence + resumable build.
+
+The reference serializes the whole index to one JSON blob
+(``toJSON``/``loadJSONIndex``, src/SearchIndex.ts:253-277, src/init.ts:120-148);
+our checkpoint/serve unit is a directory of parquet tables plus a JSON
+manifest (version, counters, lineage):
+
+    <path>/manifest.json
+    <path>/docs/            (doc_id, <ext id>, stored fields)
+    <path>/doc_stats/       (doc_id, field_id, field_len)
+    <path>/postings/        row postings (query path), bucketed dirs
+    <path>/posting_lists/   delta+varint compacted lists (storage path)
+    <path>/chunks/          per-chunk checkpoint markers + counters
+
+Resumable build (north rule): the corpus is split into n_chunks by a hash of
+the doc key; each chunk's postings land in ``postings/chunk=<c>/`` with a
+counters file written after the data (write-then-mark, so a torn chunk is
+re-done). Resume skips completed chunks — per-partition lineage + metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig, IndexLayout
+from ..engine import SparkSearchIndex
+from ..operators.build import (assign_doc_ids, build_doc_stats,
+                               build_postings, corpus_stats, tokenize_fields)
+from ..operators.compact import compact_posting_lists
+
+MANIFEST_VERSION = 2  # matches the reference's serialization version gate
+
+
+def _write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def save_index(index: SparkSearchIndex, path: str,
+               layout: Optional[IndexLayout] = None,
+               compact: bool = True) -> dict:
+    """Write all index tables + manifest; returns the manifest."""
+    os.makedirs(path, exist_ok=True)
+    layout = layout or IndexLayout()
+    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    live = index.live_postings()
+    (live
+     .withColumn("bucket",
+                 F.pmod(F.xxhash64("term"),
+                        F.lit(layout.n_term_buckets)).cast("int"))
+     .repartition("bucket")
+     .sortWithinPartitions("term", "field_id", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
+    n_postings = live.count()
+    bytes_compressed = None
+    if compact:
+        lists = compact_posting_lists(live, layout)
+        lists.write.mode("overwrite").parquet(f"{path}/posting_lists")
+        bytes_compressed = (
+            index.spark.read.parquet(f"{path}/posting_lists")
+            .agg(F.sum("n_bytes")).collect()[0][0])
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "engine": "slimsearch_spark",
+        "fields": list(index.config.fields),
+        "id_field": index.config.id_field,
+        "store_fields": list(index.config.store_fields),
+        "tokenizer": index.config.tokenizer,
+        "doc_count": index.doc_count,
+        "next_id": index.next_id,
+        "dirt_count": 0,  # tombstones are compacted away on save
+        "avg_field_length": {str(k): v
+                             for k, v in index.avg_field_length.items()},
+        "counters": {
+            "postings_emitted": n_postings,
+            "bytes_compressed": bytes_compressed,
+        },
+        "lineage": {"saved_at": time.time(),
+                    "n_term_buckets": layout.n_term_buckets},
+    }
+    _write_json(f"{path}/manifest.json", manifest)
+    return manifest
+
+
+def load_index(spark: SparkSession, path: str,
+               cache: bool = True) -> SparkSearchIndex:
+    """Read manifest (strict version gate, like loadJSONIndex) + tables."""
+    with open(f"{path}/manifest.json") as f:
+        manifest = json.load(f)
+    if manifest.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"cannot load index: unsupported version {manifest.get('version')}")
+    config = IndexConfig(fields=manifest["fields"],
+                         id_field=manifest["id_field"],
+                         store_fields=manifest["store_fields"],
+                         tokenizer=manifest.get("tokenizer", "jvm"))
+    postings = spark.read.parquet(f"{path}/postings").drop("bucket")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    docs = spark.read.parquet(f"{path}/docs")
+    return SparkSearchIndex(
+        spark, config, postings, doc_stats, docs,
+        doc_count=manifest["doc_count"],
+        avg_field_length={int(k): v for k, v in
+                          manifest["avg_field_length"].items()},
+        next_id=manifest["next_id"], cache=cache)
+
+
+# ------------------------------------------------------------- resumable
+
+def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
+                    order_cols: Sequence[str], n_chunks: int = 8,
+                    fail_after_chunk: Optional[int] = None) -> dict:
+    """Chunked, checkpointed index build with per-chunk lineage + counters.
+
+    Stage 0: assign dense doc_ids, persist the assigned corpus (checkpoint).
+    Stage 1..n: per chunk (doc_id % n_chunks == c) tokenize → postings →
+    write + mark done with counters. Already-marked chunks are skipped on
+    re-run, so a killed build resumes where it stopped.
+
+    ``fail_after_chunk`` is a test hook: raise after finishing chunk c to
+    simulate a mid-build crash.
+    """
+    spark = docs_df.sparkSession
+    os.makedirs(f"{path}/chunks", exist_ok=True)
+    state_file = f"{path}/build_state.json"
+
+    if os.path.exists(f"{path}/assigned/_SUCCESS"):
+        assigned = spark.read.parquet(f"{path}/assigned")
+    else:
+        assigned = assign_doc_ids(docs_df, order_cols)
+        assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+        assigned = spark.read.parquet(f"{path}/assigned")
+
+    done: Dict[str, dict] = {}
+    if os.path.exists(state_file):
+        with open(state_file) as f:
+            done = json.load(f).get("chunks", {})
+
+    t_start = time.time()
+    for c in range(n_chunks):
+        key = str(c)
+        if key in done:
+            continue
+        chunk_docs = assigned.where(F.col("doc_id") % n_chunks == c)
+        tokenized = tokenize_fields(chunk_docs, config)
+        postings = build_postings(tokenized)
+        stats = build_doc_stats(tokenized)
+        postings.write.mode("overwrite").parquet(f"{path}/chunks/postings_{c}")
+        stats.write.mode("overwrite").parquet(f"{path}/chunks/doc_stats_{c}")
+        n_docs = chunk_docs.count()
+        n_post = spark.read.parquet(f"{path}/chunks/postings_{c}").count()
+        done[key] = {"docs_tokenized": n_docs, "postings_emitted": n_post,
+                     "finished_at": time.time()}
+        _write_json(state_file, {"chunks": done})
+        if fail_after_chunk is not None and c >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {c}")
+
+    # finalize: union chunk outputs into the serve layout
+    postings = spark.read.parquet(
+        *[f"{path}/chunks/postings_{c}" for c in range(n_chunks)])
+    doc_stats = spark.read.parquet(
+        *[f"{path}/chunks/doc_stats_{c}" for c in range(n_chunks)])
+    avg_len, _ = corpus_stats(doc_stats)
+    keep = ["doc_id", config.id_field] + [f for f in config.store_fields
+                                          if f in assigned.columns]
+    docs_keep = assigned.select(*dict.fromkeys(keep))
+    doc_count = docs_keep.count()
+    index = SparkSearchIndex(spark, config, postings, doc_stats, docs_keep,
+                             doc_count, avg_len, next_id=doc_count,
+                             cache=False)
+    manifest = save_index(index, path)
+    manifest["build"] = {
+        "chunks": done, "n_chunks": n_chunks,
+        "wall_sec": round(time.time() - t_start, 3),
+        "docs_total": doc_count,
+    }
+    _write_json(f"{path}/manifest.json", manifest)
+    return manifest

@@ -1,0 +1,111 @@
+"""Unit tests for dedup / text-stats / similarity operators on hand-built
+fixtures with known answers."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from slimsearch_spark.operators import dedup as dd
+from slimsearch_spark.operators import similarity as sim
+from slimsearch_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (3, "completely different content about spark engines"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_doc_id"]: r["n_dups"]
+           for r in dd.exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 collapse, winner = min id
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+    assert 1 not in out
+
+
+def test_near_dup_shingles(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dd.near_dup_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash16(docs).collect()}
+    assert sh[0] == sh[1]                 # identical docs → identical hash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far             # near dup closer than unrelated
+    assert all(0 <= v < 2 ** 16 for v in sh.values())
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r for r in ts.lang_id(docs).collect()}
+    assert out[0]["predicted_lang"] == "en"   # two 'the' in 9 tokens
+    assert out[4]["predicted_lang"] == "unknown"
+
+
+def test_text_quality(docs):
+    out = {r["doc_id"]: r for r in ts.text_quality(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_unique"] == 8            # 'the' twice
+    assert out[4]["is_quality"] is False      # too short
+    assert out[0]["ttr"] == pytest.approx(8 / 9, abs=1e-6)
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(0, "foo12 bar_baz!  x")],
+                              "doc_id long, text string")
+    r = ts.token_counts(d).collect()[0]
+    assert r["ws_tokens"] == 3
+    # foo|12|bar|_|baz|!|x
+    assert r["bpe_ish_tokens"] == 7
+
+
+def test_fingerprint_separator_invariant(spark):
+    d = spark.createDataFrame(
+        [(0, "hello, world"), (1, "hello world"), (2, "hello  WORLD.")],
+        "doc_id long, text string")
+    fps = [r["fp"] for r in ts.fingerprint(d).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [(0, base.tolist())]
+    rows.append((1, (base + 0.01 * rng.randn(8)).tolist()))   # very close
+    rows.append((2, (base + 0.5 * rng.randn(8)).tolist()))    # medium
+    for i in range(3, 30):
+        rows.append((i, rng.randn(8).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = sim.brute_force_topk(vectors, q, k=3, exclude_id=0).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["cosine"] > 0.99
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def test_lsh_topk_subset_of_bucket(vectors):
+    q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"]: r["cosine"] for r in
+             sim.brute_force_topk(vectors, q, k=29, exclude_id=0).collect()}
+    lsh = sim.lsh_topk(vectors, q, k=5, n_planes=4, exclude_id=0).collect()
+    # LSH results are true cosines (re-ranked exactly) from the bucket
+    for r in lsh:
+        assert exact[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
+    # the near-identical vector shares every hyperplane side → always found
+    assert lsh[0]["vec_id"] == 1

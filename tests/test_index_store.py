@@ -1,0 +1,129 @@
+"""Index materialization: compaction round-trip, save/load (≈ loadJSONIndex
+round-trip spec), resumable build, corpus sha256 invariant, skew salting."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slimsearch_spark.config import IndexConfig, IndexLayout
+from slimsearch_spark.engine import SparkSearchIndex
+from slimsearch_spark.operators.build import build_postings, tokenize_fields
+from slimsearch_spark.operators.compact import (compact_posting_lists,
+                                                explode_posting_lists)
+from slimsearch_spark.sources.corpus import synth_corpus, verify_sha256_invariant
+from slimsearch_spark.sources.index_store import (build_resumable, load_index,
+                                                  save_index)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, 300, tokens_per_file=60).cache()
+
+
+CFG = IndexConfig(fields=["content"], id_field="path",
+                  store_fields=["repo", "lang"])
+
+
+def test_corpus_shape_and_invariant(corpus):
+    assert corpus.columns == ["repo", "path", "commit", "lang", "content",
+                              "content_sha256"]
+    assert corpus.count() == 300
+    assert verify_sha256_invariant(corpus) == 0
+    corrupted = corpus.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" x")))
+    assert verify_sha256_invariant(corrupted) == 300
+
+
+def test_corpus_deterministic(spark):
+    a = synth_corpus(spark, 50).orderBy("path").collect()
+    b = synth_corpus(spark, 50).orderBy("path").collect()
+    assert a == b
+
+
+def test_compaction_roundtrip(spark, corpus):
+    postings = build_postings(tokenize_fields(_assigned(corpus), CFG)).cache()
+    lists = compact_posting_lists(postings, IndexLayout(hot_term_salts=4))
+    back = explode_posting_lists(lists)
+    a = sorted(map(tuple, postings.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # df metadata matches actual posting counts
+    df_meta = {(r["term"], r["field_id"]): r["df"] for r in lists.collect()}
+    df_real = {(r["term"], r["field_id"]): r["cnt"] for r in
+               postings.groupBy("term", "field_id")
+               .agg(F.count("*").alias("cnt")).collect()}
+    assert df_meta == df_real
+
+
+def _assigned(corpus):
+    from slimsearch_spark.operators.build import assign_doc_ids
+    return assign_doc_ids(corpus, ["repo", "path"])
+
+
+def test_compression_ratio(spark, corpus):
+    postings = build_postings(tokenize_fields(_assigned(corpus), CFG))
+    lists = compact_posting_lists(postings)
+    total_bytes = lists.agg(F.sum("n_bytes")).collect()[0][0]
+    n_postings = postings.count()
+    # delta+varint should be far below 12 raw bytes (8 doc_id + 4 tf) per posting
+    assert total_bytes < 4 * n_postings
+
+
+def test_save_load_roundtrip(spark, corpus, tmp_path):
+    idx = SparkSearchIndex.build(corpus, CFG, order_cols=["repo", "path"])
+    path = str(tmp_path / "index")
+    manifest = save_index(idx, path)
+    assert manifest["version"] == 2
+    assert manifest["counters"]["bytes_compressed"] > 0
+    loaded = load_index(spark, path)
+    q = "parse tokenizer"
+    a = idx.search(q, prefix=True, fuzzy=0.2)
+    b = loaded.search(q, prefix=True, fuzzy=0.2)
+    assert [(r["id"], r["score"]) for r in a] == \
+        [(r["id"], r["score"]) for r in b]
+    # version gate (reference: loadJSONIndex version check)
+    m = json.load(open(f"{path}/manifest.json"))
+    m["version"] = 1
+    json.dump(m, open(f"{path}/manifest.json", "w"))
+    with pytest.raises(ValueError, match="version"):
+        load_index(spark, path)
+
+
+def test_resumable_build_resumes(spark, corpus, tmp_path):
+    path = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_resumable(corpus, CFG, path, ["repo", "path"], n_chunks=4,
+                        fail_after_chunk=1)
+    state = json.load(open(f"{path}/build_state.json"))
+    assert sorted(state["chunks"]) == ["0", "1"]
+    # resume: chunks 0-1 must be skipped, 2-3 built
+    manifest = build_resumable(corpus, CFG, path, ["repo", "path"],
+                               n_chunks=4)
+    assert sorted(manifest["build"]["chunks"]) == ["0", "1", "2", "3"]
+    assert manifest["build"]["docs_total"] == 300
+    # resumed index answers identically to a one-shot build
+    loaded = load_index(spark, path)
+    oneshot = SparkSearchIndex.build(corpus, CFG, order_cols=["repo", "path"])
+    a = loaded.search("varint delta", top_k=20)
+    b = oneshot.search("varint delta", top_k=20)
+    assert [(r["id"], round(r["score"], 9)) for r in a] == \
+        [(r["id"], round(r["score"], 9)) for r in b]
+    # counters recorded per chunk (lineage)
+    for c in manifest["build"]["chunks"].values():
+        assert c["docs_tokenized"] > 0 and c["postings_emitted"] > 0
+
+
+def test_hot_term_salting_splits_keys(spark, corpus):
+    """Skew handling: phase-1 groups for a hot term are split across salts."""
+    postings = build_postings(tokenize_fields(_assigned(corpus), CFG))
+    layout = IndexLayout(hot_term_salts=4)
+    max_doc = postings.agg(F.max("doc_id")).collect()[0][0]
+    range_size = max(1, (max_doc + 1 + 3) // 4)
+    salted = postings.withColumn(
+        "salt", (F.col("doc_id") / F.lit(range_size)).cast("int"))
+    hot = (salted.where(F.col("term") == "the")
+           .select("salt").distinct().count())
+    assert hot == 4  # the hot stopword spans every salt bucket
