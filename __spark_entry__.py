@@ -106,6 +106,14 @@ def q_fuzzy_search(spark, sf_dir):
     return _search_scores(_index(spark, sf_dir), "spak", fuzzy=1)
 
 
+def q_wand_topk(spark, sf_dir):
+    """Block-max WAND top-10 over the compacted (delta+varint) posting
+    lists — must be rank- and score-identical to bm25_topk."""
+    idx = _index(spark, sf_dir)
+    return (idx.search_topk_wand("spark join merge", 10)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_wildcard(spark, sf_dir):
     """Q3: wildcard — every live doc, score 1."""
     from slimsearch_spark.config import WILDCARD
@@ -216,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
         "prefix_search": q_prefix_search,
@@ -312,6 +321,9 @@ FROM postings GROUP BY term"""
 
     sql["bm25_topk"] = _bm25_sql(
         exact_terms, quality="count(DISTINCT term)", limit="LIMIT 10")
+
+    # WAND is pruned-but-exact: same oracle as the unpruned top-k
+    sql["wand_topk"] = sql["bm25_topk"]
 
     sql["bm25_and"] = _bm25_sql(
         "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",

@@ -9,8 +9,31 @@ Catalyst-optimized BM25 column math, distributed top-k).
 from .config import (AND, AND_NOT, OR, WILDCARD, AutoSuggestOptions,
                      IndexConfig, IndexLayout, SearchOptions)
 
+
+def ensure_workers(spark) -> None:
+    """Ship this package to executor Python workers (the in-process
+    equivalent of ``spark-submit --py-files``), so Arrow/pandas UDF closures
+    that reference module functions can unpickle anywhere — regardless of
+    the driver process's cwd or sys.path hacks. Idempotent per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_slimsearch_shipped", False):
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="slimsearch_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "slimsearch_spark"), "zip",
+        root_dir=os.path.dirname(pkg_dir), base_dir="slimsearch_spark")
+    sc.addPyFile(zip_path)
+    sc._slimsearch_shipped = True
+
+
 __all__ = [
     "AND", "AND_NOT", "OR", "WILDCARD",
     "AutoSuggestOptions", "IndexConfig", "IndexLayout", "SearchOptions",
+    "ensure_workers",
 ]
 __version__ = "0.1.0"

@@ -80,6 +80,7 @@ class IndexLayout:
     """Physical layout knobs for the materialized index (scale path)."""
 
     n_term_buckets: int = 64          # salted xxhash64(term) shuffle width
-    posting_block_size: int = 128     # docs per compressed block (block-max WAND)
+    block_doc_range: int = 512        # doc-id grid span per compressed block
     hot_term_salts: int = 16          # salt fan-out for stopword-like hot terms
     hot_term_df_threshold: int = 100_000  # df above which a term is "hot"
+    wand_ranges_per_core: int = 2     # doc-range shards per core for WAND topk

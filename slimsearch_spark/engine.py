@@ -46,6 +46,8 @@ class SparkSearchIndex:
                  postings: DataFrame, doc_stats: DataFrame, docs: DataFrame,
                  doc_count: int, avg_field_length: Dict[int, float],
                  next_id: int, cache: bool = True):
+        from . import ensure_workers
+        ensure_workers(spark)
         self.spark = spark
         self.config = config
         self.field_ids = {f: i for i, f in enumerate(config.fields)}
@@ -179,6 +181,41 @@ class SparkSearchIndex:
             rank += 1
         return rows
 
+    def _plan_string_query(self, query: str, opts: dict,
+                           field_ids: Sequence[int],
+                           branch_seed: int = 0) -> tuple:
+        """Driver-side query planning for a string query: tokenize →
+        processTerm → per-term QuerySpec → expansion rows (the Spark-native
+        executeQuery string path, src/results.ts:288-325)."""
+        process_term = opts.get("processTerm") or _default_process_term
+        tokenize = opts.get("tokenize") or tokenize_py
+        terms: List[str] = []
+        for token in tokenize(query):
+            pt = process_term(token)
+            if isinstance(pt, list):
+                terms.extend(t for t in pt if t)
+            elif pt:
+                terms.append(pt)
+        if not terms:
+            return [], []
+
+        specs = []
+        for i, term in enumerate(terms):
+            fuzzy = opts.get("fuzzy", False)
+            prefix = opts.get("prefix", False)
+            boost_term = opts.get("boostTerm")
+            specs.append({
+                "term": term, "branch": branch_seed + i,
+                "fuzzy": fuzzy(term, i, terms) if callable(fuzzy) else (fuzzy or False),
+                "prefix": prefix(term, i, terms) if callable(prefix) else prefix is True,
+                "termBoost": boost_term(term, i, terms) if callable(boost_term) else 1,
+            })
+
+        expansion_rows: List[tuple] = []
+        for spec in specs:
+            expansion_rows.extend(self._expand_spec(spec, opts, field_ids))
+        return specs, expansion_rows
+
     # ----------------------------------------------------------------- query
     def _doc_boost_df(self, boost_document: Callable,
                       derived_terms: Sequence[str]) -> DataFrame:
@@ -237,18 +274,6 @@ class SparkSearchIndex:
                                    sub_opts.get("combineWith", OR))
 
         # string query
-        process_term = opts.get("processTerm") or _default_process_term
-        tokenize = opts.get("tokenize") or tokenize_py
-        terms: List[str] = []
-        for token in tokenize(query):
-            pt = process_term(token)
-            if isinstance(pt, list):
-                terms.extend(t for t in pt if t)
-            elif pt:
-                terms.append(pt)
-        if not terms:
-            return empty_result(self.spark)
-
         fields = opts.get("fields") or list(self.config.fields)
         field_ids = [self.field_ids[f] for f in fields]
         boost = opts.get("boost") or {}
@@ -256,21 +281,10 @@ class SparkSearchIndex:
                              for f in fields}
         bm25 = {**DEFAULT_BM25, **(opts.get("bm25") or {})}
 
-        specs = []
-        for i, term in enumerate(terms):
-            fuzzy = opts.get("fuzzy", False)
-            prefix = opts.get("prefix", False)
-            boost_term = opts.get("boostTerm")
-            specs.append({
-                "term": term, "branch": branch_seed + i,
-                "fuzzy": fuzzy(term, i, terms) if callable(fuzzy) else (fuzzy or False),
-                "prefix": prefix(term, i, terms) if callable(prefix) else prefix is True,
-                "termBoost": boost_term(term, i, terms) if callable(boost_term) else 1,
-            })
-
-        expansion_rows: List[tuple] = []
-        for spec in specs:
-            expansion_rows.extend(self._expand_spec(spec, opts, field_ids))
+        specs, expansion_rows = self._plan_string_query(
+            query, opts, field_ids, branch_seed)
+        if not specs:
+            return empty_result(self.spark)
 
         doc_boost_df = None
         bd = opts.get("boostDocument")
@@ -311,6 +325,55 @@ class SparkSearchIndex:
         if k:
             out = out.limit(int(k))
         return out
+
+    def posting_lists(self, layout=None) -> DataFrame:
+        """Compacted (delta+varint, block-max) posting lists — built lazily
+        from the live postings and cached. The WAND query path's storage."""
+        from .config import IndexLayout
+        layout = layout or IndexLayout()
+        cached_layout = getattr(self, "_posting_lists_layout", None)
+        if (getattr(self, "_posting_lists", None) is None
+                or (cached_layout is not None
+                    and cached_layout.block_doc_range
+                    != layout.block_doc_range)):
+            from .operators.compact import compact_posting_lists
+            self._posting_lists = compact_posting_lists(
+                self.live_postings(), layout,
+                max_doc_id=self.next_id - 1,
+                doc_stats=self.doc_stats).cache()
+            self._posting_lists_layout = layout
+        return self._posting_lists
+
+    def search_topk_wand(self, query: str, k: int,
+                         posting_lists: Optional[DataFrame] = None,
+                         layout=None, **options) -> DataFrame:
+        """Top-k search over the compacted index with distributed block-max
+        WAND pruning (plans/wand.py) — scores identical to ``search_df`` with
+        the same options; only provably sub-threshold docs are skipped.
+
+        OR-combination over a flat string query (the reference's default
+        search surface); requires a compacted, tombstone-free index."""
+        from .plans.wand import wand_topk
+        if self.tombstones:
+            raise ValueError("WAND path requires a vacuumed index "
+                             "(run vacuum() first)")
+        opts = {**self._search_options, **options}
+        fields = opts.get("fields") or list(self.config.fields)
+        field_ids = [self.field_ids[f] for f in fields]
+        boost = opts.get("boost") or {}
+        _, expansion_rows = self._plan_string_query(query, opts, field_ids)
+        if posting_lists is None:
+            lists = self.posting_lists(layout)
+            # the grid span the cached lists were actually built with
+            layout = getattr(self, "_posting_lists_layout", layout)
+        else:
+            lists = posting_lists
+        return wand_topk(
+            lists, expansion_rows, k, self.doc_count, self.avg_field_length,
+            field_id=field_ids[0],
+            field_boost=float(boost.get(fields[0], 1.0)),
+            bm25={**DEFAULT_BM25, **(opts.get("bm25") or {})},
+            layout=layout, max_doc_id=self.next_id - 1)
 
     def search(self, query, **options) -> List[dict]:
         """Parity-shaped results (reference search(), src/search.ts:169-209)."""
@@ -434,6 +497,19 @@ class SparkSearchIndex:
         self.postings.count()
         self.tombstones = []
         self.dirt_count = 0
+        self._invalidate_posting_lists()
+
+    def _invalidate_posting_lists(self) -> None:
+        """Drop the cached compacted lists after any postings mutation —
+        the WAND path re-compacts lazily on next use."""
+        pl = getattr(self, "_posting_lists", None)
+        if pl is not None:
+            try:
+                pl.unpersist()
+            except Exception:
+                pass
+        self._posting_lists = None
+        self._posting_lists_layout = None
 
     def add_all(self, new_docs: DataFrame,
                 order_cols: Optional[Sequence[str]] = None) -> None:
@@ -469,6 +545,7 @@ class SparkSearchIndex:
             assigned.select(*dict.fromkeys(keep)), allowMissingColumns=True).cache()
         self.doc_count += n_new
         self.next_id += n_new
+        self._invalidate_posting_lists()
 
     def replace(self, doc: Mapping[str, Any]) -> None:
         self.discard(doc[self.config.id_field])

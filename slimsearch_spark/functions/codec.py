@@ -86,6 +86,143 @@ def decode_posting_list(doc_blob: bytes, tf_blob: bytes) -> Tuple[np.ndarray, np
     return doc_ids, tfs
 
 
+def varint_len(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (vectorized)."""
+    v = values.astype(np.uint64, copy=True)
+    n = np.ones(v.shape, dtype=np.int64)
+    v >>= np.uint64(7)
+    while v.any():
+        n += (v > 0)
+        v >>= np.uint64(7)
+    return n
+
+
+def encode_blocked_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
+                                fls: np.ndarray, block_doc_range: int) -> dict:
+    """Blocked, block-addressable posting list.
+
+    Blocks are aligned to the absolute doc-id grid (``block = doc_id //
+    block_doc_range``) rather than fixed-count — so a block never straddles a
+    doc-range partition boundary, which makes distributed WAND sharding an
+    offset slice instead of a decode+split. Within each block the first doc_id
+    is absolute and the rest are deltas, so any block decodes independently.
+
+    Per-posting ``fls`` (field length) is inlined so scoring needs no join
+    with doc_stats at query time (the norms live with the postings, like
+    Lucene's per-field norms).
+
+    Returns dict with: doc_blob, tf_blob, fl_blob, block_g (varint deltas of
+    block grid ids), block_n (varint docs per block), doc_off/tf_off/fl_off
+    (varint absolute byte offsets of each block), block_max_tf (varint),
+    n (total postings), n_blocks, max_tf.
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    d = doc_ids[order].astype(np.uint64)
+    t = tfs[order].astype(np.uint64)
+    f = fls[order].astype(np.uint64)
+    n = d.size
+    if n == 0:
+        empty = b""
+        return {"doc_blob": empty, "tf_blob": empty, "fl_blob": empty,
+                "block_g": empty, "block_n": empty, "doc_off": empty,
+                "tf_off": empty, "fl_off": empty, "block_max_tf": empty,
+                "n": 0, "n_blocks": 0, "max_tf": 0}
+    g = (d // np.uint64(block_doc_range)).astype(np.uint64)
+    starts = np.concatenate(([0], np.nonzero(np.diff(g))[0] + 1))
+    block_g = g[starts]
+    block_n = np.diff(np.concatenate((starts, [n]))).astype(np.uint64)
+    block_max = np.maximum.reduceat(t, starts)
+
+    vals = d.copy()
+    vals[1:] -= d[:-1]
+    vals[starts] = d[starts]  # block-first doc absolute → independent decode
+
+    doc_lens = varint_len(vals)
+    tf_lens = varint_len(t)
+    fl_lens = varint_len(f)
+    doc_csum = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_csum = np.concatenate(([0], np.cumsum(tf_lens)))
+    fl_csum = np.concatenate(([0], np.cumsum(fl_lens)))
+
+    gd = np.empty_like(block_g)
+    gd[0] = block_g[0]
+    gd[1:] = block_g[1:] - block_g[:-1]
+
+    return {
+        "doc_blob": encode_varint_array(vals),
+        "tf_blob": encode_varint_array(t),
+        "fl_blob": encode_varint_array(f),
+        "block_g": encode_varint_array(gd),
+        "block_n": encode_varint_array(block_n),
+        "doc_off": encode_varint_array(doc_csum[starts].astype(np.uint64)),
+        "tf_off": encode_varint_array(tf_csum[starts].astype(np.uint64)),
+        "fl_off": encode_varint_array(fl_csum[starts].astype(np.uint64)),
+        "block_max_tf": encode_varint_array(block_max),
+        "n": int(n),
+        "n_blocks": int(block_g.size),
+        "max_tf": int(t.max()),
+    }
+
+
+def decode_block_meta(row: dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the tiny per-block metadata arrays (no posting decode):
+    (block_grid_ids, block_n, doc_off, tf_off, fl_off, block_max_tf)."""
+    gd = decode_varint_array(row["block_g"])
+    return (np.cumsum(gd, dtype=np.uint64),
+            decode_varint_array(row["block_n"]),
+            decode_varint_array(row["doc_off"]),
+            decode_varint_array(row["tf_off"]),
+            decode_varint_array(row["fl_off"]),
+            decode_varint_array(row["block_max_tf"]))
+
+
+def decode_blocks(doc_blob: bytes, tf_blob: bytes, fl_blob: bytes,
+                  doc_off: np.ndarray, tf_off: np.ndarray,
+                  fl_off: np.ndarray, block_n: np.ndarray,
+                  which: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks (physical block skip). ``which`` is an
+    ascending array of block indices. Returns (doc_ids, tfs, fls)."""
+    if which.size == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    n_blocks = block_n.size
+    doc_end = np.concatenate((doc_off[1:], [len(doc_blob)])).astype(np.int64)
+    tf_end = np.concatenate((tf_off[1:], [len(tf_blob)])).astype(np.int64)
+    fl_end = np.concatenate((fl_off[1:], [len(fl_blob)])).astype(np.int64)
+    docs_parts, tf_parts, fl_parts = [], [], []
+    # group contiguous runs of selected blocks into single decode calls
+    run_starts = np.concatenate(([0], np.nonzero(np.diff(which) != 1)[0] + 1))
+    run_ends = np.concatenate((run_starts[1:], [which.size]))
+    for rs, re_ in zip(run_starts, run_ends):
+        b0, b1 = int(which[rs]), int(which[re_ - 1])
+        vals = decode_varint_array(
+            doc_blob[int(doc_off[b0]):int(doc_end[b1])])
+        tfs = decode_varint_array(tf_blob[int(tf_off[b0]):int(tf_end[b1])])
+        fls = decode_varint_array(fl_blob[int(fl_off[b0]):int(fl_end[b1])])
+        # rebuild absolute doc ids: cumsum with reset at each block start
+        counts = block_n[b0:b1 + 1].astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        c = np.cumsum(vals, dtype=np.uint64)
+        base = np.zeros(counts.size, dtype=np.uint64)
+        base[1:] = c[starts[1:] - 1]
+        docs = c - np.repeat(base, counts)
+        docs_parts.append(docs)
+        tf_parts.append(tfs)
+        fl_parts.append(fls)
+    return (np.concatenate(docs_parts), np.concatenate(tf_parts),
+            np.concatenate(fl_parts))
+
+
+def decode_blocked_posting_list(row: dict) -> Tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray]:
+    """Full decode of a blocked posting list row → (doc_ids, tfs, fls)."""
+    _, block_n, doc_off, tf_off, fl_off, _ = decode_block_meta(row)
+    return decode_blocks(row["doc_blob"], row["tf_blob"], row["fl_blob"],
+                         doc_off, tf_off, fl_off, block_n,
+                         np.arange(block_n.size, dtype=np.int64))
+
+
 def merge_encoded_runs(runs: List[Tuple[bytes, bytes]]) -> Tuple[bytes, bytes]:
     """Merge per-salt partial posting lists (each sorted) into one list.
 

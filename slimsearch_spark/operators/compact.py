@@ -4,7 +4,7 @@ metadata, built with an explicit two-phase salted shuffle for hot-term skew.
 North-rule items covered here:
 * per-partition posting lists, delta + varint compressed
 * salted term-hash shuffle with skew handling for stopword-like hot terms
-* block-max metadata (per 128-doc block max tf) for WAND pruning
+* block-max metadata + per-block byte offsets for WAND physical block skip
 
 Phase 1 groups by (term, field_id, salt) where salt = doc_id // range —
 a hot term's millions of postings split into bounded, contiguous doc_id
@@ -12,13 +12,19 @@ ranges, so no single reducer key explodes. Phase 2 merges the ordered runs
 per (term, field_id): because salts are contiguous ranges, the merge is an
 ordered concat + delta re-base, not a re-sort.
 
+Blocks are aligned to the absolute doc-id grid (``doc_id //
+block_doc_range``), NOT fixed-count: a block never straddles a doc-range
+shard boundary, so the distributed WAND scorer (plans/wand.py) can route
+whole blocks to shards by slicing byte ranges — no decode, no split. The
+per-posting field length is inlined (``fl_blob``) so BM25 scoring over the
+compacted index needs no doc_stats join (norms travel with the postings).
+
 Encoding runs in Arrow-batched ``applyInPandas`` (numpy varint codec,
 functions/codec.py) — vectorized, no per-row Python.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
@@ -29,8 +35,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import IndexLayout
-from ..functions.codec import (decode_posting_list, encode_posting_list,
-                               encode_varint_array)
+from ..functions.codec import (decode_blocked_posting_list,
+                               decode_posting_list, decode_varint_array,
+                               encode_blocked_posting_list,
+                               encode_posting_list, encode_varint_array)
 
 RUN_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
@@ -39,6 +47,7 @@ RUN_SCHEMA = T.StructType([
     T.StructField("n", T.IntegerType()),
     T.StructField("doc_blob", T.BinaryType()),
     T.StructField("tf_blob", T.BinaryType()),
+    T.StructField("fl_blob", T.BinaryType()),
 ])
 
 LIST_SCHEMA = T.StructType([
@@ -46,16 +55,25 @@ LIST_SCHEMA = T.StructType([
     T.StructField("field_id", T.IntegerType()),
     T.StructField("df", T.IntegerType()),
     T.StructField("max_tf", T.IntegerType()),
+    T.StructField("n_blocks", T.IntegerType()),
     T.StructField("doc_blob", T.BinaryType()),
     T.StructField("tf_blob", T.BinaryType()),
+    T.StructField("fl_blob", T.BinaryType()),
+    T.StructField("block_g", T.BinaryType()),
+    T.StructField("block_n", T.BinaryType()),
+    T.StructField("doc_off", T.BinaryType()),
+    T.StructField("tf_off", T.BinaryType()),
+    T.StructField("fl_off", T.BinaryType()),
     T.StructField("block_max_tf", T.BinaryType()),
     T.StructField("n_bytes", T.IntegerType()),
 ])
 
 
 def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
     doc_blob, tf_blob = encode_posting_list(
         pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy())
+    fls = pdf["field_len"].to_numpy()[order].astype(np.uint64)
     return pd.DataFrame({
         "term": [pdf["term"].iloc[0]],
         "field_id": [pdf["field_id"].iloc[0]],
@@ -63,47 +81,63 @@ def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
         "n": [len(pdf)],
         "doc_blob": [doc_blob],
         "tf_blob": [tf_blob],
+        "fl_blob": [encode_varint_array(fls)],
     })
 
 
-def _merge_runs(block_size: int):
+def _merge_runs(block_doc_range: int):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("salt")
-        docs_parts, tf_parts = [], []
-        for doc_blob, tf_blob in zip(pdf["doc_blob"], pdf["tf_blob"]):
+        docs_parts, tf_parts, fl_parts = [], [], []
+        for doc_blob, tf_blob, fl_blob in zip(
+                pdf["doc_blob"], pdf["tf_blob"], pdf["fl_blob"]):
             d, t = decode_posting_list(doc_blob, tf_blob)
             docs_parts.append(d)
             tf_parts.append(t)
+            fl_parts.append(decode_varint_array(fl_blob))
+        # salts are contiguous doc_id ranges → already globally sorted
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
-        # salts are contiguous doc_id ranges → already globally sorted
-        doc_blob, tf_blob = encode_posting_list(docs, tfs)
-        n = len(docs)
-        n_blocks = math.ceil(n / block_size) if n else 0
-        bmax = np.zeros(n_blocks, dtype=np.uint64)
-        for b in range(n_blocks):
-            bmax[b] = tfs[b * block_size:(b + 1) * block_size].max()
+        fls = np.concatenate(fl_parts)
+        enc = encode_blocked_posting_list(docs, tfs, fls, block_doc_range)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
             "field_id": [int(pdf["field_id"].iloc[0])],
-            "df": [n],
-            "max_tf": [int(tfs.max()) if n else 0],
-            "doc_blob": [doc_blob],
-            "tf_blob": [tf_blob],
-            "block_max_tf": [encode_varint_array(bmax)],
-            "n_bytes": [len(doc_blob) + len(tf_blob)],
+            "df": [enc["n"]],
+            "max_tf": [enc["max_tf"]],
+            "n_blocks": [enc["n_blocks"]],
+            "doc_blob": [enc["doc_blob"]],
+            "tf_blob": [enc["tf_blob"]],
+            "fl_blob": [enc["fl_blob"]],
+            "block_g": [enc["block_g"]],
+            "block_n": [enc["block_n"]],
+            "doc_off": [enc["doc_off"]],
+            "tf_off": [enc["tf_off"]],
+            "fl_off": [enc["fl_off"]],
+            "block_max_tf": [enc["block_max_tf"]],
+            "n_bytes": [len(enc["doc_blob"]) + len(enc["tf_blob"])
+                        + len(enc["fl_blob"])],
         })
     return merge
 
 
 def compact_posting_lists(postings: DataFrame,
                           layout: Optional[IndexLayout] = None,
-                          max_doc_id: Optional[int] = None) -> DataFrame:
-    """postings(term, field_id, doc_id, tf) → posting_lists(term, field_id,
-    df, max_tf, doc_blob, tf_blob, block_max_tf, n_bytes)."""
+                          max_doc_id: Optional[int] = None,
+                          doc_stats: Optional[DataFrame] = None) -> DataFrame:
+    """postings(term, field_id, doc_id, tf) [⋈ doc_stats for inline norms]
+    → posting_lists(term, field_id, df, max_tf, blobs..., block metadata)."""
+    from .. import ensure_workers
+    ensure_workers(postings.sparkSession)
     layout = layout or IndexLayout()
     if max_doc_id is None:
         max_doc_id = postings.agg(F.max("doc_id")).collect()[0][0] or 0
+    if doc_stats is not None:
+        postings = postings.join(doc_stats, ["doc_id", "field_id"], "left")
+        postings = postings.withColumn(
+            "field_len", F.coalesce("field_len", F.lit(0)))
+    else:
+        postings = postings.withColumn("field_len", F.lit(0))
     range_size = max(1, (int(max_doc_id) + 1 + layout.hot_term_salts - 1)
                      // layout.hot_term_salts)
     salted = postings.withColumn(
@@ -115,7 +149,7 @@ def compact_posting_lists(postings: DataFrame,
     lists = (runs
              .repartition(F.xxhash64("term"))
              .groupBy("term", "field_id")
-             .applyInPandas(_merge_runs(layout.posting_block_size),
+             .applyInPandas(_merge_runs(layout.block_doc_range),
                             LIST_SCHEMA))
     return lists
 
@@ -134,12 +168,10 @@ def explode_posting_lists(lists: DataFrame) -> DataFrame:
     def decode(iterator):
         for pdf in iterator:
             out_term, out_fid, out_doc, out_tf = [], [], [], []
-            for term, fid, doc_blob, tf_blob in zip(
-                    pdf["term"], pdf["field_id"], pdf["doc_blob"],
-                    pdf["tf_blob"]):
-                d, t = decode_posting_list(doc_blob, tf_blob)
-                out_term.extend([term] * len(d))
-                out_fid.extend([fid] * len(d))
+            for _, row in pdf.iterrows():
+                d, t, _fl = decode_blocked_posting_list(row)
+                out_term.extend([row["term"]] * len(d))
+                out_fid.extend([row["field_id"]] * len(d))
                 out_doc.extend(d.astype(np.int64).tolist())
                 out_tf.extend(t.astype(np.int64).tolist())
             yield pd.DataFrame({"term": out_term, "field_id": out_fid,

@@ -64,7 +64,7 @@ def save_index(index: SparkSearchIndex, path: str,
     n_postings = live.count()
     bytes_compressed = None
     if compact:
-        lists = compact_posting_lists(live, layout)
+        lists = compact_posting_lists(live, layout, doc_stats=index.doc_stats)
         lists.write.mode("overwrite").parquet(f"{path}/posting_lists")
         bytes_compressed = (
             index.spark.read.parquet(f"{path}/posting_lists")
@@ -86,7 +86,8 @@ def save_index(index: SparkSearchIndex, path: str,
             "bytes_compressed": bytes_compressed,
         },
         "lineage": {"saved_at": time.time(),
-                    "n_term_buckets": layout.n_term_buckets},
+                    "n_term_buckets": layout.n_term_buckets,
+                    "block_doc_range": layout.block_doc_range},
     }
     _write_json(f"{path}/manifest.json", manifest)
     return manifest
@@ -107,12 +108,19 @@ def load_index(spark: SparkSession, path: str,
     postings = spark.read.parquet(f"{path}/postings").drop("bucket")
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     docs = spark.read.parquet(f"{path}/docs")
-    return SparkSearchIndex(
+    index = SparkSearchIndex(
         spark, config, postings, doc_stats, docs,
         doc_count=manifest["doc_count"],
         avg_field_length={int(k): v for k, v in
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
+    if os.path.exists(f"{path}/posting_lists"):
+        # serve the saved compacted lists (WAND path) without recompacting
+        index._posting_lists = spark.read.parquet(f"{path}/posting_lists")
+        index._posting_lists_layout = IndexLayout(
+            block_doc_range=manifest.get("lineage", {}).get(
+                "block_doc_range", IndexLayout().block_doc_range))
+    return index
 
 
 # ------------------------------------------------------------- resumable

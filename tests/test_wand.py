@@ -1,0 +1,162 @@
+"""Block-max WAND top-k (plans/wand.py): blocked codec addressing, physical
+block skip, and rank/score identity with the unpruned full-sort plan.
+
+The reference has no top-k (src/search.ts returns all matches); WAND is the
+north-rule scale path, so its oracle is our own exact plan (plans/scoring.py),
+which is itself oracle-gated against the golden ranking sets.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from slimsearch_spark.config import IndexConfig, IndexLayout
+from slimsearch_spark.engine import SparkSearchIndex
+from slimsearch_spark.functions.codec import (decode_block_meta,
+                                              decode_blocked_posting_list,
+                                              decode_blocks,
+                                              encode_blocked_posting_list)
+from slimsearch_spark.sources.corpus import synth_corpus
+from slimsearch_spark.sources.index_store import load_index, save_index
+
+CFG = IndexConfig(fields=["content"], id_field="path", store_fields=["repo"])
+
+
+# --------------------------------------------------------------- codec unit
+
+def test_blocked_codec_roundtrip_and_slicing():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        docs = np.unique(rng.integers(0, 100_000,
+                                      int(rng.integers(1, 1500))).astype(np.uint64))
+        n = docs.size
+        tfs = rng.integers(1, 300, n).astype(np.uint64)
+        fls = rng.integers(1, 5000, n).astype(np.uint64)
+        br = int(rng.choice([64, 512, 4096]))
+        enc = encode_blocked_posting_list(docs, tfs, fls, br)
+        d, t, f = decode_blocked_posting_list(enc)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(f, fls)
+
+        g, bn, d_off, t_off, f_off, bmax = decode_block_meta(enc)
+        assert int(bn.sum()) == n
+        grid = docs // br
+        # block-max metadata is exact per grid cell
+        for i, gv in enumerate(g):
+            assert bmax[i] == tfs[grid == gv].max()
+        # physical block skip: decoding a subset slices byte ranges only
+        which = np.sort(rng.choice(g.size, size=max(1, g.size // 3),
+                                   replace=False)).astype(np.int64)
+        d2, t2, f2 = decode_blocks(enc["doc_blob"], enc["tf_blob"],
+                                   enc["fl_blob"], d_off, t_off, f_off,
+                                   bn, which)
+        mask = np.isin(grid, g[which])
+        assert np.array_equal(d2, docs[mask])
+        assert np.array_equal(t2, tfs[mask])
+        assert np.array_equal(f2, fls[mask])
+
+
+def test_blocked_codec_empty():
+    z = np.empty(0, np.uint64)
+    enc = encode_blocked_posting_list(z, z.copy(), z.copy(), 512)
+    assert enc["n"] == 0 and enc["n_blocks"] == 0
+    d, t, f = decode_blocked_posting_list(enc)
+    assert d.size == 0 and t.size == 0 and f.size == 0
+
+
+def test_blocks_never_straddle_grid():
+    """Doc-grid alignment: every block's docs share one grid cell — the
+    invariant that lets the WAND router shard by byte-slicing."""
+    rng = np.random.default_rng(3)
+    docs = np.unique(rng.integers(0, 50_000, 5000).astype(np.uint64))
+    tfs = np.ones(docs.size, dtype=np.uint64)
+    fls = np.ones(docs.size, dtype=np.uint64)
+    enc = encode_blocked_posting_list(docs, tfs, fls, 256)
+    g, bn, d_off, t_off, f_off, _ = decode_block_meta(enc)
+    for i in range(g.size):
+        d, _, _ = decode_blocks(enc["doc_blob"], enc["tf_blob"],
+                                enc["fl_blob"], d_off, t_off, f_off, bn,
+                                np.array([i], dtype=np.int64))
+        assert np.all(d // 256 == g[i])
+
+
+# ------------------------------------------------------------- spark parity
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = synth_corpus(spark, 1500, tokens_per_file=100).cache()
+    return SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+
+
+def _full_topk(index, query, k, **opts):
+    return [(r["doc_id"], round(r["score"], 9)) for r in
+            index.search_df(query, top_k=k, **opts)
+            .select("doc_id", "score").collect()]
+
+
+def _wand_topk(index, query, k, **kw):
+    return [(r["doc_id"], round(r["score"], 9)) for r in
+            index.search_topk_wand(query, k, **kw).collect()]
+
+
+def test_wand_equals_full_sort_prefix(index):
+    layout = IndexLayout(block_doc_range=128)
+    for query in ["varint delta merge", "the parse", "tokenizer",
+                  "spark shuffle partition skew"]:
+        assert _wand_topk(index, query, 10, layout=layout) == \
+            _full_topk(index, query, 10), query
+
+
+def test_wand_various_k(index):
+    for k in (1, 3, 25, 200):
+        assert _wand_topk(index, "varint merge", k) == \
+            _full_topk(index, "varint merge", k)
+
+
+def test_wand_single_hot_term(index):
+    # stopword-like hot term: every doc matches; pruning must still keep
+    # the exact top-k
+    assert _wand_topk(index, "the", 10) == _full_topk(index, "the", 10)
+
+
+def test_wand_no_match(index):
+    assert _wand_topk(index, "zzzzqqqq", 10) == []
+
+
+def test_wand_rejects_tombstoned_index(spark):
+    docs = synth_corpus(spark, 50, tokens_per_file=30)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    victim = docs.select("path").orderBy("path").first()["path"]
+    idx.discard(victim)
+    with pytest.raises(ValueError, match="vacuum"):
+        idx.search_topk_wand("the", 5)
+    idx.vacuum()
+    got = idx.search_topk_wand("the", 5).collect()
+    want = idx.search_df("the", top_k=5).select("doc_id", "score").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+
+
+def test_wand_cache_invalidated_on_mutation(spark):
+    """Regression: a WAND query before discard+vacuum must not serve stale
+    compacted lists afterwards — df/idf must reflect the removed docs."""
+    docs = synth_corpus(spark, 80, tokens_per_file=40)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    _ = idx.search_topk_wand("the parse", 5).collect()  # warm the cache
+    victims = [r["path"] for r in
+               docs.select("path").orderBy("path").limit(8).collect()]
+    idx.discard_many(victims)
+    idx.vacuum()
+    assert _wand_topk(idx, "the parse", 5) == _full_topk(idx, "the parse", 5)
+
+
+def test_wand_over_saved_index(spark, index, tmp_path):
+    """Save → load → WAND serves from the persisted posting_lists table."""
+    path = str(tmp_path / "widx")
+    save_index(index, path)
+    loaded = load_index(spark, path)
+    assert loaded._posting_lists is not None
+    assert _wand_topk(loaded, "varint delta merge", 10) == \
+        _full_topk(index, "varint delta merge", 10)
