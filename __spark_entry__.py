@@ -152,6 +152,20 @@ def q_search_after_discard(spark, sf_dir):
     return _search_scores(idx, "spark")
 
 
+def q_search_after_remove(spark, sf_dir):
+    """M1/M2: eager batched remove (doc_id % 13 == 0), search 'merge' —
+    postings gone immediately, stats reversed."""
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang"])
+    idx = SparkSearchIndex.build(_docs(spark, sf_dir), cfg,
+                                 order_cols=["doc_id"])
+    victims = [r.asDict() for r in
+               _docs(spark, sf_dir).where(F.col("doc_id") % 13 == 0)
+               .collect()]
+    idx.remove_all(victims)
+    return _search_scores(idx, "merge")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: winner per distinct content."""
     return dd.exact_dedup(_docs(spark, sf_dir))
@@ -233,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filtered": q_search_filtered,
         "autosuggest": q_autosuggest,
         "search_after_discard": q_search_after_discard,
+        "search_after_remove": q_search_after_remove,
         "dedup_exact": q_dedup_exact,
         "near_dup_minhash": q_near_dup_minhash,
         "simhash": q_simhash,
@@ -445,6 +460,34 @@ cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
 matched AS (
   SELECT p.doc_id, p.tf, count(*) OVER () AS df
   FROM postings p WHERE p.term = 'spark'
+)
+SELECT m.doc_id,
+       round(ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+         * (0.5 + (m.tf * 2.2) /
+            (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len))), 6)
+         AS score
+FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
+
+    sql["search_after_remove"] = f"""
+WITH live AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\\n\\r\\p{{Z}}\\p{{P}}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM live
+),
+postings AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2),
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\\n\\r\\p{{Z}}\\p{{P}}]+')))::INT AS field_len
+  FROM live
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
+matched AS (
+  SELECT p.doc_id, p.tf, count(*) OVER () AS df
+  FROM postings p WHERE p.term = 'merge'
 )
 SELECT m.doc_id,
        round(ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))

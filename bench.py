@@ -56,7 +56,7 @@ def main() -> None:
     E._INDEX_CACHE[("idx", sf_dir)] = idx  # reuse for the query benches
 
     bench_queries = [
-        "bm25_topk", "bm25_and", "bm25_and_not", "prefix_search",
+        "bm25_topk", "wand_topk", "bm25_and", "bm25_and_not", "prefix_search",
         "fuzzy_search", "autosuggest", "search_filtered",
         "dedup_exact", "near_dup_minhash", "simhash", "lang_id",
         "text_quality", "token_counts", "fingerprint",

@@ -61,6 +61,44 @@ class AutoSuggestOptions(SearchOptions):
             self.prefix = lambda term, index, terms: index == len(terms) - 1
 
 
+def search_options_dict(so: "SearchOptions") -> dict:
+    """SearchOptions dataclass → the engine's option-dict surface (the
+    camelCase keys mirror the reference's SearchOptions fields)."""
+    out = {
+        "combineWith": so.combine_with, "prefix": so.prefix,
+        "fuzzy": so.fuzzy, "maxFuzzy": so.max_fuzzy, "fields": so.fields,
+        "boost": dict(so.boost), "weights": dict(so.weights),
+        "bm25": dict(so.bm25), "boostTerm": so.boost_term,
+        "boostDocument": so.boost_document, "filter": so.filter,
+        "top_k": so.top_k,
+    }
+    return {k: v for k, v in out.items() if v not in (None, {}, ())}
+
+
+# Introspectable defaults (reference getDefaultValue, src/defaults.ts:75-79)
+DEFAULT_OPTIONS: dict = {
+    "idField": "id",
+    "combineWith": OR,
+    "prefix": False,
+    "fuzzy": False,
+    "maxFuzzy": DEFAULT_MAX_FUZZY,
+    "weights": dict(DEFAULT_WEIGHTS),
+    "bm25": dict(DEFAULT_BM25),
+    "tokenizePattern": TOKEN_SPLIT_PATTERN,
+    "storeFields": [],
+    "searchOptions": {},
+    "autoSuggestOptions": {"combineWith": AND, "prefix": "last-term"},
+}
+
+
+def get_default_value(option_name: str):
+    """Introspect a default option value; unknown names throw (reference
+    src/defaults.ts:75-79)."""
+    if option_name not in DEFAULT_OPTIONS:
+        raise ValueError(f"slimsearch_spark: unknown option {option_name}")
+    return DEFAULT_OPTIONS[option_name]
+
+
 @dataclass
 class IndexConfig:
     """Index-build options (reference createIndex, src/SearchIndex.ts:143-197)."""

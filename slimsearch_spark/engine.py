@@ -60,6 +60,9 @@ class SparkSearchIndex:
         self.tombstones: List[int] = []
         self.dirt_count = 0
         self._search_options: dict = {}
+        if config.search_options is not None:
+            from .config import search_options_dict
+            self._search_options = search_options_dict(config.search_options)
         self._auto_suggest_options: dict = {}
         if cache:
             self.postings = postings.cache()
@@ -423,6 +426,104 @@ class SparkSearchIndex:
     def has(self, ext_id) -> bool:
         return (self.live_docs()
                 .where(F.col(self.config.id_field) == ext_id).count()) > 0
+
+    def get_stored_fields(self, ext_id) -> Optional[dict]:
+        """Point lookup of the stored-field projection by external id
+        (reference getStoredFields, src/info.ts:31-41)."""
+        rows = (self.live_docs()
+                .where(F.col(self.config.id_field) == ext_id).collect())
+        if not rows:
+            return None
+        d = rows[0].asDict()
+        return {k: v for k, v in d.items()
+                if k not in ("doc_id", self.config.id_field) and v is not None}
+
+    def remove(self, doc: Mapping[str, Any]) -> None:
+        """Eager full delete of one document (reference remove,
+        src/remove.ts:139-185)."""
+        self.remove_all([doc])
+
+    def _remove_docs(self, docs: Sequence[Mapping]) -> None:
+        """Batched eager delete: drops the docs' postings immediately and
+        reverses the running field-length average — one Spark plan per
+        stage, not per document. The passed documents must be the unchanged
+        originals; changed docs log a version_conflict warning (the
+        reference's src/warning.ts semantics). Postings are removed by
+        doc_id either way (our postings carry doc_id, so the subtraction
+        cannot corrupt sibling docs like the reference's tf-decrement can).
+        """
+        ext_ids = [d[self.config.id_field] for d in docs]
+        rows = (self.docs.where(F.col(self.config.id_field).isin(ext_ids))
+                .select("doc_id", self.config.id_field).collect())
+        found = {r[self.config.id_field]: int(r["doc_id"]) for r in rows}
+        missing = [e for e in ext_ids
+                   if e not in found or found[e] in self.tombstones]
+        if missing:
+            raise ValueError(
+                f"cannot remove document with ID {missing[0]}: "
+                "not in the index")
+        doc_ids = sorted(found.values())
+        victims = self.spark.createDataFrame([(d,) for d in doc_ids],
+                                             "doc_id long")
+
+        # version-conflict check: re-derive the docs' postings and compare
+        passed = self.spark.createDataFrame([dict(d) for d in docs]) \
+            .withColumn(
+                "doc_id",
+                F.element_at(
+                    F.create_map(*[F.lit(x) for e, i in found.items()
+                                   for x in (e, i)]),
+                    F.col(self.config.id_field)).cast("long"))
+        derived = build_postings(tokenize_fields(passed, self.config))
+        stored = self.postings.join(F.broadcast(victims), "doc_id",
+                                    "left_semi")
+        cols = ["term", "field_id", "doc_id", "tf"]
+        changed = (derived.select(*cols)
+                   .exceptAll(stored.select(*cols)).limit(1).count())
+        if changed:
+            import warnings
+            warnings.warn("slimsearch_spark: some documents have changed "
+                          "before removal (version_conflict)")
+
+        sums = (self.doc_stats.join(F.broadcast(victims), "doc_id",
+                                    "left_semi")
+                .groupBy("field_id")
+                .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+                .collect())
+        n = self.doc_count
+        for r in sums:
+            fid, s, c = r["field_id"], r["s"], r["c"]
+            if n - c <= 0:
+                self.avg_field_length[fid] = 0.0
+            else:
+                self.avg_field_length[fid] = \
+                    (self.avg_field_length.get(fid, 0.0) * n - s) / (n - c)
+        self.postings = self.postings.join(
+            F.broadcast(victims), "doc_id", "left_anti").cache()
+        self.doc_stats = self.doc_stats.join(
+            F.broadcast(victims), "doc_id", "left_anti").cache()
+        self.docs = self.docs.join(
+            F.broadcast(victims), "doc_id", "left_anti").cache()
+        self.doc_count -= len(doc_ids)
+        self._invalidate_posting_lists()
+
+    def remove_all(self, docs: Optional[Sequence[Mapping]] = None) -> None:
+        """Remove the given docs eagerly (one batched plan), or reset all
+        state when called with no args (reference removeAll,
+        src/remove.ts:199-217)."""
+        if docs is not None:
+            if docs:
+                self._remove_docs(docs)
+            return
+        self.tombstones = []
+        self.postings = self.postings.limit(0).cache()
+        self.doc_stats = self.doc_stats.limit(0).cache()
+        self.docs = self.docs.limit(0).cache()
+        self.doc_count = 0
+        self.next_id = 0
+        self.dirt_count = 0
+        self.avg_field_length = {}
+        self._invalidate_posting_lists()
 
     def discard(self, ext_id) -> None:
         """Tombstone delete (reference src/remove.ts:63-88): doc disappears

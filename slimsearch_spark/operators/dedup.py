@@ -37,20 +37,19 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, term) distinct n-gram token shingles — the unit set for
     MinHash/Jaccard. Shingles discriminate near-duplicates where raw token
-    sets saturate (small vocabularies)."""
-    toks = terms_col(F.col(text_col))
-    # F.sequence(1, 0) counts DOWN — docs shorter than n tokens need an
-    # explicit empty shingle list
-    idx = F.when(F.size(toks) >= n,
-                 F.sequence(F.lit(1), F.size(toks) - (n - 1))
-                 ).otherwise(F.expr("cast(array() as array<int>)"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
-                                     for j in range(n)]))
-    return (docs.select(id_col, F.explode(
-        F.array_distinct(sh)).alias("term"))
-        .withColumnRenamed(id_col, "doc_id"))
+    sets saturate (small vocabularies).
+
+    Uses the JVM NGram transformer: a hand-rolled
+    ``transform(sequence(...), concat_ws(element_at(toks, i+j)...))`` looks
+    equivalent but re-evaluates the tokenizer split per element access —
+    quadratic in document length."""
+    from pyspark.ml.feature import NGram
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          terms_col(F.col(text_col)).alias("__toks"))
+    ng = NGram(n=n, inputCol="__toks", outputCol="__sh")
+    return (ng.transform(toks_df)
+            .select("doc_id",
+                    F.explode(F.array_distinct("__sh")).alias("term")))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -105,16 +104,28 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
 
     → (a, b, jaccard) for candidate pairs with Jaccard(n-gram shingle sets)
     ≥ threshold. The expensive exact verify runs only on LSH collisions."""
+    # small-file inputs arrive as one partition — spread the (expensive)
+    # shingle transform across cores before anything else
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
+    terms.count()  # materialize once; sizes/sigs/verify all re-scan it
     sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cands = lsh_candidate_pairs(minhash_signatures(terms, k), k, rows_per_band)
-    # intersection size via join on term
+    cands = (lsh_candidate_pairs(minhash_signatures(terms, k), k,
+                                 rows_per_band).cache())
+    cands.count()  # cands feeds both the verify join and the final select
+    # exact-verify only LSH-colliding docs: prune term sets to candidate
+    # docs first (left_semi), then intersect on the composite (doc, term)
+    # key — an equi-join, never an |A|×|B| blowup per pair
+    cand_docs = (cands.select(F.col("a").alias("doc_id"))
+                 .unionByName(cands.select(F.col("b").alias("doc_id")))
+                 .distinct())
+    cterms = terms.join(cand_docs, "doc_id", "left_semi")
     inter = (cands
-             .join(terms.select(F.col("doc_id").alias("a"), "term"), "a")
-             .join(terms.select(F.col("doc_id").alias("b"),
-                                F.col("term").alias("term2")),
-                   "b")
-             .where(F.col("term") == F.col("term2"))
+             .join(cterms.select(F.col("doc_id").alias("a"), "term"), "a")
+             .join(cterms.select(F.col("doc_id").alias("b"), "term"),
+                   ["b", "term"])
              .groupBy("a", "b").agg(F.count("*").alias("inter")))
     out = (cands
            .join(inter, ["a", "b"], "left")
