@@ -152,6 +152,30 @@ def q_search_after_discard(spark, sf_dir):
     return _search_scores(idx, "spark")
 
 
+def q_bm25_query_tree(spark, sf_dir):
+    """Q2/Q8 recursive query tree with option cascading:
+    OR( AND('spark join'), 'merge' )."""
+    idx = _index(spark, sf_dir)
+    tree = {"queries": [{"queries": ["spark join"], "combineWith": "AND"},
+                        "merge"],
+            "combineWith": "OR"}
+    return (idx.search_df(tree)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """Multi-field search with field boosts: fields=[text, source],
+    boost source x2 — per-(term, field) df, per-field avg length (P2/P3)."""
+    key = ("idx2", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(fields=["text", "source"], id_field="doc_id")
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    idx = _INDEX_CACHE[key]
+    return (idx.search_df("spark src3", boost={"source": 2.0})
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_search_after_remove(spark, sf_dir):
     """M1/M2: eager batched remove (doc_id % 13 == 0), search 'merge' —
     postings gone immediately, stats reversed."""
@@ -241,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
+        "bm25_query_tree": q_bm25_query_tree,
+        "bm25_multifield": q_bm25_multifield,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "wildcard": q_wildcard,
@@ -365,6 +391,97 @@ SELECT doc_id, round(sum(s), 6) AS score
 FROM scored
 WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')
 GROUP BY doc_id"""
+
+    # query tree OR( AND(spark, join), merge ): per-branch combinators,
+    # quality = distinct matched query terms across surviving branches
+    sql["bm25_query_tree"] = f"""
+WITH {_POSTINGS}{_STATS},
+q AS (SELECT unnest(['spark','join','merge']) AS term),
+matched AS (
+  SELECT p.term, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term,
+         ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+         sum(CASE WHEN term = 'join' THEN s END) AS s_join,
+         sum(CASE WHEN term = 'merge' THEN s END) AS s_merge
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(((CASE WHEN s_spark IS NOT NULL AND s_join IS NOT NULL
+                    THEN s_spark + s_join ELSE 0 END)
+              + coalesce(s_merge, 0))
+             * ((CASE WHEN s_spark IS NOT NULL AND s_join IS NOT NULL
+                      THEN 2 ELSE 0 END)
+                + (CASE WHEN s_merge IS NOT NULL THEN 1 ELSE 0 END)),
+             6) AS score
+FROM agg
+WHERE (s_spark IS NOT NULL AND s_join IS NOT NULL) OR s_merge IS NOT NULL"""
+
+    # multi-field: per-(term, field) df, per-field stats, boost source x2
+    sql["bm25_multifield"] = r"""
+WITH tok AS (
+  SELECT doc_id, 0 AS field_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS field_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(source, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, field_id, doc_id, count(*)::INT AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+dstat AS (
+  SELECT doc_id, 0 AS field_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS field_id,
+         length(list_distinct(regexp_split_to_array(source,
+             '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+  FROM documents
+),
+cstat AS (
+  SELECT field_id, avg(field_len) AS avg_len FROM dstat GROUP BY field_id
+),
+nn AS (SELECT count(*) AS n FROM documents),
+q AS (SELECT unnest(['spark','src3']) AS term),
+matched AS (
+  SELECT p.term, p.field_id, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term, p.field_id) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term,
+         (CASE m.field_id WHEN 1 THEN 2.0 ELSE 1.0 END)
+           * ln(1 + (nn.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / c.avg_len)))
+           AS s
+  FROM matched m
+  JOIN dstat d USING (doc_id, field_id)
+  JOIN cstat c USING (field_id)
+  CROSS JOIN nn
+)
+SELECT doc_id, round(sum(s) * count(DISTINCT term), 6) AS score
+FROM scored GROUP BY doc_id"""
 
     # prefix: derived terms LIKE 's%', weight 0.375·len/(len+0.3·(len-1))
     prefix_terms = r"""

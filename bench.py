@@ -27,8 +27,10 @@ def main() -> None:
              .appName("slimsearch_spark_bench")
              .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
              .config("spark.sql.adaptive.enabled", "true")
+             # keep the heap under 32g: beyond that the JVM loses compressed
+             # OOPs and this workload measured ~16x slower (see BASELINE.md)
              .config("spark.driver.memory",
-                     os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+                     os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.enabled", "false")
              .getOrCreate())

@@ -25,7 +25,7 @@ cores = int(sys.argv[1]); n_files = int(sys.argv[2]); tpf = int(sys.argv[3])
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.sql.shuffle.partitions", str(cores))
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "48g")
+         .config("spark.driver.memory", "16g")  # <32g: keep compressed OOPs
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -65,14 +65,15 @@ def run(cores: int, n_files: int, tpf: int) -> dict:
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     tpf = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    r8 = run(8, n_files, tpf)
-    r32 = run(32, n_files, tpf)
-    efficiency = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    rn = run(n, n_files, tpf)
+    r4n = run(4 * n, n_files, tpf)
+    efficiency = (r4n["files_per_sec"] / rn["files_per_sec"]) / 4.0
     print(json.dumps({
         "metric": "index_build_scaling",
         "n_files": n_files, "tokens_per_file": tpf,
-        "local8": r8, "local32": r32,
-        "speedup_8_to_32": round(r32["files_per_sec"] / r8["files_per_sec"], 3),
+        f"local{n}": rn, f"local{4 * n}": r4n,
+        "speedup_n_to_4n": round(r4n["files_per_sec"] / rn["files_per_sec"], 3),
         "scaling_efficiency_n_to_4n": round(efficiency, 3),
         "target": 0.8,
     }))
