@@ -34,7 +34,8 @@ from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats, tokenize_fields)
 from .oracle import js_round
-from .plans.scoring import combine_results, empty_result, score_expansion
+from .plans.scoring import (combine_results, combine_scored, empty_result,
+                            score_expansion)
 
 
 def _default_process_term(term: str) -> str:
@@ -300,11 +301,10 @@ class SparkSearchIndex:
             field_ids, field_boost_by_id, self.avg_field_length,
             self.doc_count, bm25, doc_boost_df)
 
-        # split into per-spec branches for the combinator
-        branches = [scored.where(F.col("branch") == s["branch"])
-                    for s in specs]
-        return combine_results(self.spark, branches,
-                               opts.get("combineWith", OR))
+        # one-plan combinator over the branch column (no per-branch
+        # filter+union: the postings join subtree stays single)
+        return combine_scored(scored, [s["branch"] for s in specs],
+                              opts.get("combineWith", OR))
 
     def search_df(self, query, **options) -> DataFrame:
         """Distributed search plan → DataFrame(doc_id, <ext id>, score,

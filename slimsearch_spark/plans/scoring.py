@@ -127,6 +127,39 @@ def score_expansion(spark,
                     F.array("qterm").alias("qterms"), "match", "branch"))
 
 
+def combine_scored(scored: DataFrame, branch_ids: Sequence[int],
+                   combine_with: str) -> DataFrame:
+    """Combine the branches of ONE string query directly from the single
+    score_expansion output — semantically identical to splitting per-branch
+    and running ``combine_results``, but the physical plan stays one subtree
+    instead of N copies of the postings join (one per ``where(branch = i)``
+    filter + union)."""
+    op = combine_with.lower()
+    if op not in ("or", "and", "and_not"):
+        raise ValueError(f"Invalid combination operator: {combine_with}")
+
+    if op == "and_not" and len(branch_ids) > 1:
+        first = branch_ids[0]
+        left = scored.where(F.col("branch") == first)
+        rest = (scored.where(F.col("branch") != first)
+                .select("doc_id").distinct())
+        return (left.join(rest, "doc_id", "left_anti")
+                .select("doc_id", "score", "qterms", "match"))
+
+    agg = (scored.groupBy("doc_id")
+           .agg(F.sum("score").alias("score"),
+                F.array_distinct(F.flatten(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("branch"), F.col("qterms"))))
+                    .getField("qterms"))).alias("qterms"),
+                F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list("match")))).alias("match"),
+                F.count_distinct("branch").alias("__n")))
+    if op == "and":
+        agg = agg.where(F.col("__n") == len(branch_ids))
+    return agg.select("doc_id", "score", "qterms", "match")
+
+
 def combine_results(spark, branches: List[DataFrame], combine_with: str) -> DataFrame:
     """OR / AND / AND_NOT over branch result DFs (reference src/utils.ts:88-134).
 

@@ -1,0 +1,70 @@
+"""Physical-plan regressions (PLANS.md): the shapes that make the engine
+scale must survive refactors — broadcast joins on the query side, a single
+scoring subtree, top-k via TakeOrderedAndProject, pushdown/pruning at scans.
+"""
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slimsearch_spark.config import IndexConfig
+from slimsearch_spark.engine import SparkSearchIndex
+from slimsearch_spark.sources.corpus import synth_corpus
+
+CFG = IndexConfig(fields=["content"], id_field="path", store_fields=["repo"])
+
+
+def plan_of(df, mode="simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = synth_corpus(spark, 200, tokens_per_file=40).cache()
+    return SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+
+
+def test_topk_uses_take_ordered(index):
+    p = plan_of(index.search_df("varint merge", top_k=10))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_sort_merge_join_in_search(index):
+    p = plan_of(index.search_df("varint merge delta", top_k=10))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_single_scoring_subtree(index):
+    """One Window (df) and one expansion join per string query — the
+    per-branch filter+union regression would show N of each."""
+    p = plan_of(index.search_df("varint merge delta", top_k=10))
+    # the df window is `count(1) over (branch, derived_term, field_id)`;
+    # row_number windows in the cached build lineage don't count
+    assert p.count("Window [count(1)") == 1
+
+
+def test_postings_build_single_shuffle(spark, index):
+    from slimsearch_spark.operators.build import build_postings, tokenize_fields
+    docs = synth_corpus(spark, 50, tokens_per_file=30)
+    p = plan_of(build_postings(tokenize_fields(
+        docs.withColumn("doc_id", F.xxhash64("path")), CFG)))
+    # partial + final hash agg around exactly one exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+
+
+def test_scan_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "scan")
+    synth_corpus(spark, 50, tokens_per_file=10).write.parquet(path)
+    df = (spark.read.parquet(path)
+          .where(F.col("lang") == "python").select("path", "lang"))
+    p = plan_of(df, "formatted")
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in p
+    assert "ReadSchema: struct<path:string,lang:string>" in p
