@@ -106,6 +106,36 @@ def q_fuzzy_search(spark, sf_dir):
     return _search_scores(_index(spark, sf_dir), "spak", fuzzy=1)
 
 
+def q_combined_search(spark, sf_dir):
+    """Q5 combined prefix+fuzzy ('spak', fuzzy=0.2 → maxDist 1): a term that
+    is both a prefix- and fuzzy-match scores once, as prefix
+    (src/results.ts:230-234)."""
+    return _search_scores(_index(spark, sf_dir), "spak",
+                          prefix=True, fuzzy=0.2)
+
+
+def q_term_boosted(spark, sf_dir):
+    """Q4 boostTerm callable: first query term weighted 2x."""
+    return _search_scores(
+        _index(spark, sf_dir), "spark join",
+        boostTerm=lambda term, i, terms: 2.0 if i == 0 else 1.0)
+
+
+def q_search_after_vacuum(spark, sf_dir):
+    """M6 vacuum compaction: discard (doc_id % 7 == 0) then vacuum — scores
+    must equal the tombstoned state (vacuum only rewrites storage)."""
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang"])
+    idx = SparkSearchIndex.build(_docs(spark, sf_dir), cfg,
+                                 order_cols=["doc_id"])
+    victims = [r["doc_id"] for r in
+               _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+    idx.discard_many(victims)
+    idx.vacuum()
+    return _search_scores(idx, "spark")
+
+
 def q_wand_topk(spark, sf_dir):
     """Block-max WAND top-10 over the compacted (delta+varint) posting
     lists — must be rank- and score-identical to bm25_topk."""
@@ -131,11 +161,10 @@ def q_search_filtered(spark, sf_dir):
 
 
 def q_autosuggest(spark, sf_dir):
-    """Q11: autoSuggest('spa') — phrase, mean score."""
+    """Q11: autoSuggest('spa') — distributed phrase-group plan."""
     idx = _index(spark, sf_dir)
-    rows = [(r["suggestion"], round(r["score"], 6))
-            for r in idx.auto_suggest("spa")]
-    return spark.createDataFrame(rows, "suggestion string, score double")
+    return (idx.auto_suggest_df("spa")
+            .select("suggestion", F.round("score", 6).alias("score")))
 
 
 def q_search_after_discard(spark, sf_dir):
@@ -269,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": q_bm25_multifield,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "combined_search": q_combined_search,
+        "term_boosted": q_term_boosted,
+        "search_after_vacuum": q_search_after_vacuum,
         "wildcard": q_wildcard,
         "search_filtered": q_search_filtered,
         "autosuggest": q_autosuggest,
@@ -492,6 +524,25 @@ FROM scored GROUP BY doc_id"""
   FROM (SELECT DISTINCT term FROM postings) WHERE term LIKE 's%'"""
     sql["prefix_search"] = _bm25_sql(prefix_terms, quality="1")
 
+    # combined prefix+fuzzy: prefix matches win (scored once, as prefix);
+    # fuzzy adds only non-prefix terms within distance 1, distance > 0
+    combined_terms = r"""
+  SELECT term,
+         CASE WHEN term = 'spak' THEN 1.0
+              WHEN term LIKE 'spak%' THEN
+                   0.375 * length(term) /
+                   (length(term) + 0.3 * (length(term) - 4))
+              ELSE 0.45 * length(term) /
+                   (length(term) + levenshtein(term, 'spak')) END AS weight
+  FROM (SELECT DISTINCT term FROM postings)
+  WHERE term LIKE 'spak%' OR levenshtein(term, 'spak') <= 1"""
+    sql["combined_search"] = _bm25_sql(combined_terms, quality="1")
+
+    sql["term_boosted"] = _bm25_sql(
+        "SELECT 'spark' AS term, 2.0 AS weight "
+        "UNION ALL SELECT 'join', 1.0",
+        quality="count(DISTINCT term)")
+
     fuzzy_terms = r"""
   SELECT term,
          CASE WHEN term = 'spak' THEN 1.0
@@ -584,6 +635,9 @@ SELECT m.doc_id,
             (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len))), 6)
          AS score
 FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
+
+    # vacuum == discard for scoring: same oracle as search_after_discard
+    sql["search_after_vacuum"] = sql["search_after_discard"]
 
     sql["search_after_remove"] = f"""
 WITH live AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),

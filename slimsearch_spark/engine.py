@@ -401,6 +401,28 @@ class SparkSearchIndex:
                 results.append(result)
         return results
 
+    def auto_suggest_df(self, query: str, **options) -> DataFrame:
+        """Distributed autoSuggest plan: search (AND, prefix on last term)
+        → phrase = matched doc terms in (branch, rank, field) order →
+        groupBy(phrase).agg(mean score) → sort desc. One extra aggregation
+        over the search output (reference src/autoSuggest.ts:68-98), fully
+        executor-side — the scale path; ``auto_suggest`` keeps the
+        parity-shaped driver API."""
+        opts = {"combineWith": AND,
+                "prefix": lambda term, i, terms: i == len(terms) - 1,
+                **self._auto_suggest_options, **options}
+        hits = self.search_df(query, **opts)
+        # match is array_sort'ed by (branch, rank, field_id); first-occurrence
+        # dedup of derived terms reproduces the reference's insertion order
+        phrase = F.array_join(
+            F.array_distinct(F.transform(F.col("match"), lambda m: m["term"])),
+            " ")
+        return (hits
+                .select(phrase.alias("suggestion"), "score")
+                .groupBy("suggestion")
+                .agg((F.sum("score") / F.count("*")).alias("score"))
+                .orderBy(F.desc("score"), F.asc("suggestion")))
+
     def auto_suggest(self, query: str, **options) -> List[dict]:
         """autoSuggest (reference src/autoSuggest.ts:68-98)."""
         opts = {"combineWith": AND,

@@ -263,6 +263,22 @@ def test_autosuggest(books_pair):
             assert g["score"] == pytest.approx(w["score"], rel=REL_TOL)
 
 
+def test_autosuggest_df_matches_driver(books_pair):
+    """The distributed autoSuggest plan (groupBy phrase) must equal the
+    parity-shaped driver implementation."""
+    s, _ = books_pair
+    for q, kw in [("com", {}), ("vita no", {}),
+                  ("vita", {"fuzzy": True, "prefix": True})]:
+        want = [(r["suggestion"], round(r["score"], 9))
+                for r in s.auto_suggest(q, **kw)]
+        got = [(r["suggestion"], round(r["score"], 9))
+               for r in s.auto_suggest_df(q, **kw).collect()]
+        assert sorted(got) == sorted(want), q
+        # score-ordering parity (ties broken by suggestion in the DF plan)
+        assert [g[1] for g in got] == sorted([g[1] for g in got],
+                                             reverse=True)
+
+
 # ---- top-k equals full-sort prefix (north-star addition) ----
 
 def test_topk_prefix(movies_pair):
