@@ -280,6 +280,12 @@ def q_binary_meta(spark, sf_dir):
                     F.md5(F.col("__b")).alias("content_md5")))
 
 
+def q_sha256_invariant(spark, sf_dir):
+    """North-rule per-row invariant: content sha256 (F.sha2 == oracle)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("sha256")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 on sf0.001."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -316,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "binary_meta": q_binary_meta,
+        "sha256_invariant": q_sha256_invariant,
     }
 
 
@@ -833,5 +840,8 @@ LIMIT 10"""
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
 FROM documents"""
+
+    sql["sha256_invariant"] = \
+        "SELECT doc_id, sha256(text) AS sha256 FROM documents"
 
     return sql

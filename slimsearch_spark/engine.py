@@ -108,8 +108,14 @@ class SparkSearchIndex:
         return self.docs.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     def term_dictionary(self, field_ids: Sequence[int]) -> DataFrame:
-        """Distinct terms over the searched fields (live only)."""
-        return (self.live_postings()
+        """Distinct (term, field_id) over live postings — the prefix/fuzzy
+        expansion dictionary. Cached across queries (it is tiny relative to
+        postings and every expansion query needs it); invalidated on any
+        postings mutation."""
+        if getattr(self, "_term_dict", None) is None:
+            self._term_dict = (self.live_postings()
+                               .select("term", "field_id").distinct().cache())
+        return (self._term_dict
                 .where(F.col("field_id").isin(list(field_ids)))
                 .select("term").distinct())
 
@@ -623,16 +629,18 @@ class SparkSearchIndex:
         self._invalidate_posting_lists()
 
     def _invalidate_posting_lists(self) -> None:
-        """Drop the cached compacted lists after any postings mutation —
-        the WAND path re-compacts lazily on next use."""
-        pl = getattr(self, "_posting_lists", None)
-        if pl is not None:
-            try:
-                pl.unpersist()
-            except Exception:
-                pass
+        """Drop the cached compacted lists + term dictionary after any
+        postings mutation — both re-derive lazily on next use."""
+        for attr in ("_posting_lists", "_term_dict"):
+            df = getattr(self, attr, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         self._posting_lists = None
         self._posting_lists_layout = None
+        self._term_dict = None
 
     def add_all(self, new_docs: DataFrame,
                 order_cols: Optional[Sequence[str]] = None) -> None:

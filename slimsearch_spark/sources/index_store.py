@@ -62,6 +62,12 @@ def save_index(index: SparkSearchIndex, path: str,
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{path}/postings"))
     n_postings = live.count()
+    # term dictionary: sorted so prefix queries become min/max-prunable
+    # range scans (the radix tree's capability, SURVEY.md §2.4 S4)
+    (live.select("term", "field_id").distinct()
+     .repartitionByRange(max(1, layout.n_term_buckets // 8), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{path}/terms"))
     bytes_compressed = None
     if compact:
         lists = compact_posting_lists(live, layout, doc_stats=index.doc_stats)
@@ -114,6 +120,8 @@ def load_index(spark: SparkSession, path: str,
         avg_field_length={int(k): v for k, v in
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
+    if os.path.exists(f"{path}/terms"):
+        index._term_dict = spark.read.parquet(f"{path}/terms")
     if os.path.exists(f"{path}/posting_lists"):
         # serve the saved compacted lists (WAND path) without recompacting
         index._posting_lists = spark.read.parquet(f"{path}/posting_lists")

@@ -115,6 +115,14 @@ def test_wand_various_k(index):
             _full_topk(index, "varint merge", k)
 
 
+def test_wand_with_prefix_and_fuzzy_expansion(index):
+    """WAND consumes the same expansion rows as the full plan — prefix and
+    fuzzy derived terms score identically under pruning."""
+    for kw in ({"prefix": True}, {"fuzzy": 1}, {"prefix": True, "fuzzy": 0.2}):
+        assert _wand_topk(index, "varint merg", 10, **kw) == \
+            _full_topk(index, "varint merg", 10, **kw), kw
+
+
 def test_wand_single_hot_term(index):
     # stopword-like hot term: every doc matches; pruning must still keep
     # the exact top-k
