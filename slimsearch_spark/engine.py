@@ -191,6 +191,23 @@ class SparkSearchIndex:
             rank += 1
         return rows
 
+    def _pruned_postings(self, postings: DataFrame,
+                         derived_terms: Sequence[str]) -> DataFrame:
+        """Partition pruning for term lookups on a saved index: postings are
+        written ``partitionBy(bucket = pmod(xxhash64(term), n))``; filtering
+        on the literal bucket set of the query's derived terms turns the
+        scan into `PartitionFilters: [bucket IN (...)]` — at 100 TB a
+        lookup touches n_buckets-th of the index instead of all of it."""
+        n = getattr(self, "_n_term_buckets", None)
+        if "bucket" not in postings.columns or not n or not derived_terms:
+            return postings
+        terms_df = self.spark.createDataFrame(
+            [(t,) for t in sorted(set(derived_terms))], "term string")
+        buckets = [r["b"] for r in terms_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n)).cast("int").alias("b"))
+            .distinct().collect()]
+        return postings.where(F.col("bucket").isin(buckets))
+
     def _plan_string_query(self, query: str, opts: dict,
                            field_ids: Sequence[int],
                            branch_seed: int = 0) -> tuple:
@@ -302,8 +319,10 @@ class SparkSearchIndex:
             derived = sorted({r[2] for r in expansion_rows})
             doc_boost_df = self._doc_boost_df(bd, derived)
 
+        postings = self._pruned_postings(
+            self.live_postings(), [r[2] for r in expansion_rows])
         scored = score_expansion(
-            self.spark, self.live_postings(), self.doc_stats, expansion_rows,
+            self.spark, postings, self.doc_stats, expansion_rows,
             field_ids, field_boost_by_id, self.avg_field_length,
             self.doc_count, bm25, doc_boost_df)
 
@@ -670,6 +689,11 @@ class SparkSearchIndex:
             self.avg_field_length[fid] = (old * self.doc_count + s) / (self.doc_count + c)
         keep = ["doc_id", self.config.id_field] + \
             [f for f in self.config.store_fields if f in assigned.columns]
+        if "bucket" in self.postings.columns and \
+                getattr(self, "_n_term_buckets", None):
+            new_postings = new_postings.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"),
+                                 F.lit(self._n_term_buckets)).cast("int"))
         self.postings = self.postings.unionByName(new_postings).cache()
         self.doc_stats = self.doc_stats.unionByName(new_stats).cache()
         self.docs = self.docs.unionByName(

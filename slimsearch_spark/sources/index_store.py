@@ -111,7 +111,9 @@ def load_index(spark: SparkSession, path: str,
                          id_field=manifest["id_field"],
                          store_fields=manifest["store_fields"],
                          tokenizer=manifest.get("tokenizer", "jvm"))
-    postings = spark.read.parquet(f"{path}/postings").drop("bucket")
+    # keep the bucket partition column: the engine adds literal
+    # `bucket IN (...)` predicates per query → parquet partition pruning
+    postings = spark.read.parquet(f"{path}/postings")
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     docs = spark.read.parquet(f"{path}/docs")
     index = SparkSearchIndex(
@@ -120,6 +122,7 @@ def load_index(spark: SparkSession, path: str,
         avg_field_length={int(k): v for k, v in
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
+    index._n_term_buckets = manifest.get("lineage", {}).get("n_term_buckets")
     if os.path.exists(f"{path}/terms"):
         index._term_dict = spark.read.parquet(f"{path}/terms")
     if os.path.exists(f"{path}/posting_lists"):

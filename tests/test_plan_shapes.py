@@ -60,6 +60,32 @@ def test_postings_build_single_shuffle(spark, index):
     assert "partial_count" in p
 
 
+def test_loaded_index_partition_pruning(spark, index, tmp_path):
+    """A saved index's postings are bucket-partitioned by xxhash64(term);
+    queries must prune to the buckets of their derived terms — and still
+    return identical results."""
+    from slimsearch_spark.sources.index_store import load_index, save_index
+    import re
+    path = str(tmp_path / "pidx")
+    save_index(index, path)
+    # cache=False = the 100 TB serving mode: the bucket predicate must reach
+    # the parquet scan as a PartitionFilter (directory-level pruning)
+    uncached = load_index(spark, path, cache=False)
+    p = plan_of(uncached.search_df("varint merge", top_k=5), "formatted")
+    assert re.search(r"PartitionFilters: \[.*bucket#\d+ IN \(", p), p[-2000:]
+    # cached mode still applies the bucket filter on the in-memory relation
+    loaded = load_index(spark, path)
+    p2 = plan_of(loaded.search_df("varint merge", top_k=5), "formatted")
+    assert re.search(r"bucket#\d+ IN \(", p2)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         loaded.search_df("varint merge", top_k=5)
+         .select("doc_id", "score").collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         index.search_df("varint merge", top_k=5)
+         .select("doc_id", "score").collect()]
+    assert a == b
+
+
 def test_scan_pushdown_and_pruning(spark, tmp_path):
     path = str(tmp_path / "scan")
     synth_corpus(spark, 50, tokens_per_file=10).write.parquet(path)
