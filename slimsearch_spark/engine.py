@@ -374,7 +374,8 @@ class SparkSearchIndex:
 
     def search_topk_wand(self, query: str, k: int,
                          posting_lists: Optional[DataFrame] = None,
-                         layout=None, **options) -> DataFrame:
+                         layout=None, metrics: Optional[dict] = None,
+                         **options) -> DataFrame:
         """Top-k search over the compacted index with distributed block-max
         WAND pruning (plans/wand.py) — scores identical to ``search_df`` with
         the same options; only provably sub-threshold docs are skipped.
@@ -401,7 +402,7 @@ class SparkSearchIndex:
             field_id=field_ids[0],
             field_boost=float(boost.get(fields[0], 1.0)),
             bm25={**DEFAULT_BM25, **(opts.get("bm25") or {})},
-            layout=layout, max_doc_id=self.next_id - 1)
+            layout=layout, max_doc_id=self.next_id - 1, metrics=metrics)
 
     def search(self, query, **options) -> List[dict]:
         """Parity-shaped results (reference search(), src/search.ts:169-209)."""

@@ -141,52 +141,132 @@ def _ub_block(block_max: np.ndarray, idf: float, wmult: float,
     return wmult * idf * (d + m * (k + 1.0) / (m + k * (1.0 - b)))
 
 
+def _slice_of_row(row) -> dict:
+    return {
+        "qt": row["query_term"],
+        "wmult": float(row["wmult"]),
+        "idf": float(row["idf"]),
+        "g": np.asarray(row["block_g"], dtype=np.int64),
+        "bn": np.asarray(row["block_n"], dtype=np.uint64),
+        "bmax": np.asarray(row["block_max"], dtype=np.int64),
+        "d_off": np.asarray(row["doc_off"], dtype=np.uint64),
+        "t_off": np.asarray(row["tf_off"], dtype=np.uint64),
+        "f_off": np.asarray(row["fl_off"], dtype=np.uint64),
+        "doc_blob": row["doc_blob"],
+        "tf_blob": row["tf_blob"],
+        "fl_blob": row["fl_blob"],
+        "n": int(np.asarray(row["block_n"]).sum()),
+        "_dec": {},   # block idx -> (docs, tfs, fls): decode-once cache
+    }
+
+
+def _fetch_blocks(s: dict, which: np.ndarray, acc_decoded=None):
+    """Decode the requested blocks of one slice, at most once per block
+    (physical skip = blocks never requested are never decoded)."""
+    missing = np.asarray([b for b in which if b not in s["_dec"]],
+                         dtype=np.int64)
+    if missing.size:
+        if acc_decoded is not None:
+            acc_decoded.add(int(missing.size))
+        d, t, f = decode_blocks(s["doc_blob"], s["tf_blob"], s["fl_blob"],
+                                s["d_off"], s["t_off"], s["f_off"],
+                                s["bn"], missing)
+        splits = np.cumsum(s["bn"][missing].astype(np.int64))[:-1]
+        for b, dd, tt, ff in zip(missing, np.split(d, splits),
+                                 np.split(t, splits), np.split(f, splits)):
+            s["_dec"][int(b)] = (dd, tt, ff)
+    if not len(which):
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    parts = [s["_dec"][int(b)] for b in which]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
+                  doc_count: int, avg_len: float,
+                  bm25: Mapping[str, float], k_top: int, acc_decoded=None):
+    """mapInPandas fn for the global-θ pre-pass over the raw matched lists:
+    per term, decode only the highest-impact blocks (by block-max upper
+    bound) until they cover ≥ k docs, emit those docs' exact partial scores.
+    The k-th largest across all terms is a valid global threshold — every
+    partial is a lower bound of its doc's final score (quality ≥ 1)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                expansions = exp_by_term.get(row["term"])
+                if not expansions:
+                    continue
+                df_t = float(row["df"])
+                if df_t <= 0:
+                    continue
+                idf = math.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
+                g, bn, d_off, t_off, f_off, bmax = decode_block_meta(row)
+                wmult = max(w for _, w in expansions)
+                ub = _ub_block(bmax.astype(np.int64), idf, wmult, bm25)
+                order = np.argsort(-ub, kind="stable")
+                covered, take = 0, []
+                for b in order:
+                    take.append(int(b))
+                    covered += int(bn[b])
+                    if covered >= k_top:
+                        break
+                which = np.sort(np.asarray(take, dtype=np.int64))
+                if acc_decoded is not None:
+                    acc_decoded.add(int(which.size))
+                _, t, f = decode_blocks(
+                    row["doc_blob"], row["tf_blob"], row["fl_blob"],
+                    d_off, t_off, f_off, bn, which)
+                scores = _score_exact(t, f, idf, wmult, avg_len, bm25)
+                if scores.size > k_top:
+                    scores = np.partition(scores, -k_top)[-k_top:]
+                out.extend(float(x) for x in scores)
+            yield pd.DataFrame({"s": pd.Series(out, dtype="float64")})
+
+    return run
+
+
 def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
-                 bm25: Mapping[str, float], block_doc_range: int):
-    """applyInPandas fn: per-shard block-max prune + exact top-k."""
+                 bm25: Mapping[str, float], block_doc_range: int,
+                 theta0: float = 0.0,
+                 acc_blocks_total=None, acc_blocks_decoded=None):
+    """applyInPandas fn: per-shard block-max prune + exact top-k.
+
+    θ = max(global θ0 from the pre-pass, local seed from the rarest slice).
+    Blocks decode at most once per shard (``_fetch_blocks`` cache); the
+    accumulators count blocks present vs. physically decoded."""
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        slices = []
-        for _, row in pdf.iterrows():
-            slices.append({
-                "qt": row["query_term"],
-                "wmult": float(row["wmult"]),
-                "idf": float(row["idf"]),
-                "g": np.asarray(row["block_g"], dtype=np.int64),
-                "bn": np.asarray(row["block_n"], dtype=np.uint64),
-                "bmax": np.asarray(row["block_max"], dtype=np.int64),
-                "d_off": np.asarray(row["doc_off"], dtype=np.uint64),
-                "t_off": np.asarray(row["tf_off"], dtype=np.uint64),
-                "f_off": np.asarray(row["fl_off"], dtype=np.uint64),
-                "doc_blob": row["doc_blob"],
-                "tf_blob": row["tf_blob"],
-                "fl_blob": row["fl_blob"],
-                "n": int(np.asarray(row["block_n"]).sum()),
-            })
-        slices = [s for s in slices if s["n"]]
+        slices = [s for s in (_slice_of_row(r) for _, r in pdf.iterrows())
+                  if s["n"]]
         if not slices:
             return _empty()
+        if acc_blocks_total is not None:
+            acc_blocks_total.add(int(sum(s["bn"].size for s in slices)))
 
         for s in slices:
             s["ub"] = _ub_block(s["bmax"], s["idf"], s["wmult"], bm25)
             s["ub_max"] = float(s["ub"].max()) if s["ub"].size else 0.0
 
-        # θ seed from the rarest slice's exact partial scores (quality ≥ 1)
-        seed = min(slices, key=lambda s: s["n"])
-        sd, st, sf = decode_blocks(
-            seed["doc_blob"], seed["tf_blob"], seed["fl_blob"],
-            seed["d_off"], seed["t_off"], seed["f_off"], seed["bn"],
-            np.arange(seed["bn"].size, dtype=np.int64))
-        seed_scores = _score_exact(st, sf, seed["idf"], seed["wmult"],
-                                   avg_len, bm25)
-        if seed_scores.size >= k_top:
-            theta = float(np.partition(seed_scores, -k_top)[-k_top])
-        else:
-            theta = 0.0
+        theta = float(theta0)
+        if len(slices) > 1:
+            # local refinement: exact partials of the rarest slice
+            seed = min(slices, key=lambda s: s["n"])
+            _, st, sf = _fetch_blocks(
+                seed, np.arange(seed["bn"].size, dtype=np.int64),
+                acc_blocks_decoded)
+            seed_scores = _score_exact(st, sf, seed["idf"], seed["wmult"],
+                                       avg_len, bm25)
+            if seed_scores.size >= k_top:
+                theta = max(theta, float(
+                    np.partition(seed_scores, -k_top)[-k_top]))
 
         # candidate docs: blocks whose bound can still reach θ
         ub_sum = sum(s["ub_max"] for s in slices)
@@ -195,11 +275,8 @@ def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
             rest = ub_sum - s["ub_max"]
             keep = np.nonzero(
                 n_query_terms * (s["ub"] + rest) >= theta)[0]
-            s["kept_blocks"] = keep
             if keep.size:
-                d, _, _ = decode_blocks(
-                    s["doc_blob"], s["tf_blob"], s["fl_blob"],
-                    s["d_off"], s["t_off"], s["f_off"], s["bn"], keep)
+                d, _, _ = _fetch_blocks(s, keep, acc_blocks_decoded)
                 cand_parts.append(d.astype(np.int64))
         if not cand_parts:
             return _empty()
@@ -209,13 +286,11 @@ def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
         # exact scoring of candidates across ALL slices (decode only blocks
         # whose grid cell holds a candidate — physical block skip)
         doc_parts, score_parts, qt_parts = [], [], []
-        for qi, s in enumerate(slices):
+        for s in slices:
             need = np.nonzero(np.isin(s["g"], cand_cells))[0]
             if not need.size:
                 continue
-            d, t, fl = decode_blocks(
-                s["doc_blob"], s["tf_blob"], s["fl_blob"],
-                s["d_off"], s["t_off"], s["f_off"], s["bn"], need)
+            d, t, fl = _fetch_blocks(s, need, acc_blocks_decoded)
             d = d.astype(np.int64)
             mask = np.isin(d, candidates)
             if not mask.any():
@@ -252,13 +327,18 @@ def wand_topk(posting_lists: DataFrame,
               bm25: Optional[Mapping[str, float]] = None,
               layout: Optional[IndexLayout] = None,
               max_doc_id: Optional[int] = None,
-              n_shards: Optional[int] = None) -> DataFrame:
+              n_shards: Optional[int] = None,
+              metrics: Optional[dict] = None) -> DataFrame:
     """Top-k BM25 OR-query over compacted posting lists with block-max
     pruning. ``expansion_rows``: (branch, query_term, derived_term, rank,
     weight, term_boost) as produced by the engine's expansion planner.
 
     Returns DataFrame(doc_id, score) — the global top-k, reference-identical
     scores (quality multiplier included).
+
+    Pass ``metrics={}`` to receive pruning-evidence accumulators: after an
+    action, ``metrics["blocks_total"].value`` / ``["blocks_decoded"].value``
+    report posting blocks present vs. physically decoded.
     """
     layout = layout or IndexLayout()
     bm25 = dict(DEFAULT_BM25, **(bm25 or {}))
@@ -285,12 +365,33 @@ def wand_topk(posting_lists: DataFrame,
     n_grid = max_doc_id // layout.block_doc_range + 1
     blocks_per_shard = max(1, math.ceil(n_grid / n_shards))
 
+    acc_total = acc_decoded = None
+    if metrics is not None:
+        acc_total = spark.sparkContext.accumulator(0)
+        acc_decoded = spark.sparkContext.accumulator(0)
+        metrics["blocks_total"] = acc_total
+        metrics["blocks_decoded"] = acc_decoded
+
+    avg_len = float(avg_field_length.get(field_id, 1.0))
+
+    # global-θ pre-pass: exact partials from each term's top-impact blocks;
+    # the k-th largest seeds every shard's threshold. matched is re-read by
+    # the main pass — it is the term-pruned scan (a few lists), not cached,
+    # to avoid leaking per-query cache entries
+    theta0 = 0.0
+    top = (matched
+           .mapInPandas(_theta0_stage(exp_by_term, doc_count, avg_len,
+                                      bm25, k_top, acc_decoded),
+                        T.StructType([T.StructField("s", T.DoubleType())]))
+           .orderBy(F.desc("s")).limit(k_top).collect())
+    if len(top) >= k_top:
+        theta0 = float(top[-1]["s"])
+
     routed = matched.mapInPandas(
         _route_stage(exp_by_term, doc_count, blocks_per_shard), SHARD_SCHEMA)
     local = routed.groupBy("shard").applyInPandas(
-        _shard_stage(k_top, len(query_terms),
-                     float(avg_field_length.get(field_id, 1.0)), bm25,
-                     layout.block_doc_range),
+        _shard_stage(k_top, len(query_terms), avg_len, bm25,
+                     layout.block_doc_range, theta0, acc_total, acc_decoded),
         TOPK_SCHEMA)
     return (local
             .orderBy(F.desc("score"), F.asc("doc_id"))

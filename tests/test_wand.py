@@ -147,6 +147,33 @@ def test_wand_rejects_tombstoned_index(spark):
         [(r["doc_id"], round(r["score"], 9)) for r in want]
 
 
+def test_wand_physically_skips_blocks(spark):
+    """Pruning evidence: a hot term with a few high-tf docs — blocks holding
+    only tf=1 postings have upper bound < θ and are never decoded."""
+    filler = [("r", f"f/{i:05d}.py", "c", "py",
+               "the " + " ".join(f"junk{i}tok{j}" for j in range(30)))
+              for i in range(2000)]
+    special = [("r", f"s/{i}.py", "c", "py", " ".join(["the"] * 50))
+               for i in range(5)]
+    docs = spark.createDataFrame(filler + special,
+                                 "repo string, path string, commit string, "
+                                 "lang string, content string")
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    metrics = {}
+    got = idx.search_topk_wand("the", 5, metrics=metrics,
+                               layout=IndexLayout(block_doc_range=64)).collect()
+    want = (idx.search_df("the", top_k=5)
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    total = metrics["blocks_total"].value
+    decoded = metrics["blocks_decoded"].value
+    assert total > 20
+    # global θ0 from the top-impact block prunes every filler block: only
+    # the blocks holding the tf=50 docs (plus the θ0 probe) decode
+    assert decoded <= total // 4, (decoded, total)
+
+
 def test_wand_cache_invalidated_on_mutation(spark):
     """Regression: a WAND query before discard+vacuum must not serve stale
     compacted lists afterwards — df/idf must reflect the removed docs."""
