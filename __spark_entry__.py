@@ -167,6 +167,14 @@ def q_autosuggest(spark, sf_dir):
             .select("suggestion", F.round("score", 6).alias("score")))
 
 
+def q_autosuggest_fuzzy(spark, sf_dir):
+    """Q11 autoSuggest with fuzzy expansion: phrase ordering follows the
+    expansion ranks (exact, then prefix alphabetical, then fuzzy)."""
+    idx = _index(spark, sf_dir)
+    return (idx.auto_suggest_df("spak", fuzzy=0.2)
+            .select("suggestion", F.round("score", 6).alias("score")))
+
+
 def q_search_after_discard(spark, sf_dir):
     """M3/M7: tombstone docs (doc_id % 7 == 0), search 'spark' — df and
     averages must reflect lazy cleanup."""
@@ -203,6 +211,18 @@ def q_bm25_multifield(spark, sf_dir):
     idx = _INDEX_CACHE[key]
     return (idx.search_df("spark src3", boost={"source": 2.0})
             .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_incremental_add(spark, sf_dir):
+    """B2/B3 incremental addAll: build on even doc_ids, append odd ones —
+    scores must equal a one-shot build over everything."""
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang"])
+    idx = SparkSearchIndex.build(
+        _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0), cfg,
+        order_cols=["doc_id"])
+    idx.add_all(_docs(spark, sf_dir).where(F.col("doc_id") % 2 == 1))
+    return _search_scores(idx, "merge")
 
 
 def q_search_after_remove(spark, sf_dir):
@@ -310,8 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard": q_wildcard,
         "search_filtered": q_search_filtered,
         "autosuggest": q_autosuggest,
+        "autosuggest_fuzzy": q_autosuggest_fuzzy,
         "search_after_discard": q_search_after_discard,
         "search_after_remove": q_search_after_remove,
+        "incremental_add": q_incremental_add,
         "dedup_exact": q_dedup_exact,
         "near_dup_minhash": q_near_dup_minhash,
         "simhash": q_simhash,
@@ -614,6 +636,47 @@ per_doc AS (
 SELECT suggestion, round(avg(score), 6) AS score
 FROM per_doc GROUP BY suggestion"""
 
+    sql["autosuggest_fuzzy"] = f"""
+WITH {_POSTINGS}{_STATS},
+cand AS (
+  SELECT term,
+         CASE WHEN term = 'spak' THEN 1.0
+              WHEN term LIKE 'spak%' THEN
+                   0.375 * length(term) /
+                   (length(term) + 0.3 * (length(term) - 4))
+              ELSE 0.45 * length(term) /
+                   (length(term) + levenshtein(term, 'spak')) END AS weight,
+         CASE WHEN term = 'spak' THEN 0
+              WHEN term LIKE 'spak%' THEN 1 ELSE 2 END AS cls
+  FROM (SELECT DISTINCT term FROM postings)
+  WHERE term LIKE 'spak%' OR levenshtein(term, 'spak') <= 1
+),
+q AS (
+  SELECT term, weight,
+         row_number() OVER (ORDER BY cls, term) - 1 AS rnk
+  FROM cand
+),
+matched AS (
+  SELECT p.term, q.weight, q.rnk, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term, m.rnk,
+         m.weight * ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+),
+per_doc AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY rnk) AS suggestion,
+         sum(s) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT suggestion, round(avg(score), 6) AS score
+FROM per_doc GROUP BY suggestion"""
+
     # tombstones: doc_id % 7 == 0 discarded → stats and df over survivors
     sql["search_after_discard"] = f"""
 WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
@@ -645,6 +708,10 @@ FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
 
     # vacuum == discard for scoring: same oracle as search_after_discard
     sql["search_after_vacuum"] = sql["search_after_discard"]
+
+    # incremental build must equal a one-shot build over the full corpus
+    sql["incremental_add"] = _bm25_sql(
+        "SELECT 'merge' AS term, 1.0 AS weight", quality="1")
 
     sql["search_after_remove"] = f"""
 WITH live AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),

@@ -673,9 +673,20 @@ class SparkSearchIndex:
             self.config.id_field, "left_semi").limit(1).collect())
         if dup:
             raise ValueError(f"duplicate ID {dup[0][self.config.id_field]}")
-        assigned = assign_doc_ids(new_docs, order_cols)
-        assigned = assigned.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(self.next_id))
+        if "doc_id" in new_docs.columns:
+            # caller-provided internal ids (same trust as build); they must
+            # not collide with existing ones
+            assigned = new_docs
+            clash = (assigned.select("doc_id")
+                     .join(self.docs.select("doc_id"), "doc_id", "left_semi")
+                     .limit(1).collect())
+            if clash:
+                raise ValueError(
+                    f"duplicate doc_id {clash[0]['doc_id']} in add_all")
+        else:
+            assigned = assign_doc_ids(new_docs, order_cols)
+            assigned = assigned.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(self.next_id))
         tokenized = tokenize_fields(assigned, self.config)
         new_postings = build_postings(tokenized)
         new_stats = build_doc_stats(tokenized)
@@ -700,7 +711,11 @@ class SparkSearchIndex:
         self.docs = self.docs.unionByName(
             assigned.select(*dict.fromkeys(keep)), allowMissingColumns=True).cache()
         self.doc_count += n_new
-        self.next_id += n_new
+        if "doc_id" in new_docs.columns:
+            hi = assigned.agg(F.max("doc_id")).collect()[0][0]
+            self.next_id = max(self.next_id, int(hi) + 1)
+        else:
+            self.next_id += n_new
         self._invalidate_posting_lists()
 
     def replace(self, doc: Mapping[str, Any]) -> None:
