@@ -114,6 +114,41 @@ def q_combined_search(spark, sf_dir):
                           prefix=True, fuzzy=0.2)
 
 
+def q_prefix_search_wide(spark, sf_dir):
+    """Q5 scale-safe expansion (round 2): combined prefix+fuzzy on 'ma'
+    with expansionCollectThreshold=0 — the expansion stays a joined
+    DataFrame (weights/ranks as column expressions, no driver collect) and
+    must score identically to the broadcast path / oracle."""
+    return _search_scores(_index(spark, sf_dir), "ma",
+                          prefix=True, fuzzy=1,
+                          expansionCollectThreshold=0)
+
+
+def q_search_doc_boosted(spark, sf_dir):
+    """boostDocument Column fast path (round 2): lang='en' docs boosted 2x,
+    lang='de' docs dropped (falsy ⇒ skip, src/results.ts:123-126) —
+    evaluated executor-side, no live_docs().collect()."""
+    boost = (F.when(F.col("lang") == "en", 2.0)
+             .when(F.col("lang") == "de", F.lit(None))
+             .otherwise(1.0))
+    return _search_scores(_index(spark, sf_dir), "merge",
+                          boostDocument=boost)
+
+
+def q_wildcard_boosted(spark, sf_dir):
+    """Q3 wildcard + Column boostDocument over stored fields: per-lang
+    boost, de docs dropped (falsy) — computed in the row-store scan, no
+    driver loop."""
+    from slimsearch_spark.config import WILDCARD
+    idx = _index(spark, sf_dir)
+    boost = (F.when(F.col("lang") == "en", 2.0)
+             .when(F.col("lang") == "fr", 1.5)
+             .when(F.col("lang") == "de", F.lit(None))
+             .otherwise(1.0))
+    return (idx.search_df(WILDCARD, boostDocument=boost)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_term_boosted(spark, sf_dir):
     """Q4 boostTerm callable: first query term weighted 2x."""
     return _search_scores(
@@ -138,7 +173,18 @@ def q_search_after_vacuum(spark, sf_dir):
 
 def q_wand_topk(spark, sf_dir):
     """Block-max WAND top-10 over the compacted (delta+varint) posting
-    lists — must be rank- and score-identical to bm25_topk."""
+    lists — must be rank- and score-identical to bm25_topk.
+    adaptive_min_docs=0 pins the REAL pruned path at oracle scale (the
+    production default skips to the exact plan below the measured
+    crossover; that skip is benched as wand_topk_adaptive)."""
+    idx = _index(spark, sf_dir)
+    return (idx.search_topk_wand("spark join merge", 10, adaptive_min_docs=0)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_wand_topk_adaptive(spark, sf_dir):
+    """Default search_topk_wand (adaptive skip below the crossover) —
+    result-identical to wand_topk/bm25_topk by contract."""
     idx = _index(spark, sf_dir)
     return (idx.search_topk_wand("spark join merge", 10)
             .select("doc_id", F.round("score", 6).alias("score")))
@@ -177,9 +223,10 @@ def q_autosuggest_fuzzy(spark, sf_dir):
 
 def q_search_after_discard(spark, sf_dir):
     """M3/M7: tombstone docs (doc_id % 7 == 0), search 'spark' — df and
-    averages must reflect lazy cleanup."""
+    averages must reflect lazy cleanup. auto_vacuum off so the tombstone
+    anti-join path (not the compacted rewrite) is what's scored."""
     cfg = IndexConfig(fields=["text"], id_field="doc_id",
-                      store_fields=["lang"])
+                      store_fields=["lang"], auto_vacuum=False)
     idx = SparkSearchIndex.build(_docs(spark, sf_dir), cfg,
                                  order_cols=["doc_id"])
     victims = [r["doc_id"] for r in
@@ -239,6 +286,22 @@ def q_search_after_remove(spark, sf_dir):
     return _search_scores(idx, "merge")
 
 
+def q_custom_process_term(spark, sf_dir):
+    """B10 (round 2): custom processTerm applied at INDEX time via the
+    Arrow-batched analysis UDF (reference src/add.ts:106-113) and reused
+    query-side — synonym folding 'join' → 'merge', changing tf AND df of
+    the folded term, so any index/query asymmetry breaks the scores."""
+    key = ("idx_stem", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(
+            fields=["text"], id_field="doc_id",
+            process_term=lambda t: ("merge" if t.lower() in ("merge", "join")
+                                    else t.lower()))
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    return _search_scores(_INDEX_CACHE[key], "join")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: winner per distinct content."""
     return dd.exact_dedup(_docs(spark, sf_dir))
@@ -253,6 +316,16 @@ def q_near_dup_minhash(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """16-bit tf-weighted SimHash fingerprints."""
     return dd.simhash16(_docs(spark, sf_dir))
+
+
+def q_simhash64(spark, sf_dir):
+    """64-bit tf-weighted SimHash (two 32-bit halves, portable packing)."""
+    return dd.simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash Hamming-banded near-dup pairs (≤3 bits over 64)."""
+    return dd.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_lang_id(spark, sf_dir):
@@ -318,11 +391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
+        "wand_topk_adaptive": q_wand_topk_adaptive,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
         "bm25_query_tree": q_bm25_query_tree,
         "bm25_multifield": q_bm25_multifield,
         "prefix_search": q_prefix_search,
+        "prefix_search_wide": q_prefix_search_wide,
+        "search_doc_boosted": q_search_doc_boosted,
+        "wildcard_boosted": q_wildcard_boosted,
         "fuzzy_search": q_fuzzy_search,
         "combined_search": q_combined_search,
         "term_boosted": q_term_boosted,
@@ -334,9 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_discard": q_search_after_discard,
         "search_after_remove": q_search_after_remove,
         "incremental_add": q_incremental_add,
+        "custom_process_term": q_custom_process_term,
         "dedup_exact": q_dedup_exact,
         "near_dup_minhash": q_near_dup_minhash,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
+        "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -426,6 +506,7 @@ FROM postings GROUP BY term"""
 
     # WAND is pruned-but-exact: same oracle as the unpruned top-k
     sql["wand_topk"] = sql["bm25_topk"]
+    sql["wand_topk_adaptive"] = sql["bm25_topk"]
 
     sql["bm25_and"] = _bm25_sql(
         "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",
@@ -566,6 +647,51 @@ FROM scored GROUP BY doc_id"""
   FROM (SELECT DISTINCT term FROM postings)
   WHERE term LIKE 'spak%' OR levenshtein(term, 'spak') <= 1"""
     sql["combined_search"] = _bm25_sql(combined_terms, quality="1")
+
+    # combined prefix+fuzzy on 'ma' (DF expansion path — same semantics as
+    # the broadcast path: prefix wins, fuzzy adds non-prefix distance-1)
+    wide_terms = r"""
+  SELECT term,
+         CASE WHEN term = 'ma' THEN 1.0
+              WHEN term LIKE 'ma%' THEN
+                   0.375 * length(term) /
+                   (length(term) + 0.3 * (length(term) - 2))
+              ELSE 0.45 * length(term) /
+                   (length(term) + levenshtein(term, 'ma')) END AS weight
+  FROM (SELECT DISTINCT term FROM postings)
+  WHERE term LIKE 'ma%' OR levenshtein(term, 'ma') <= 1"""
+    sql["prefix_search_wide"] = _bm25_sql(wide_terms, quality="1")
+
+    # Column boostDocument: en ×2, de dropped (falsy ⇒ skip), others ×1
+    sql["search_doc_boosted"] = f"""
+WITH {_POSTINGS}{_STATS},
+q AS (SELECT 'merge' AS term, 1.0 AS weight),
+matched AS (
+  SELECT p.term, q.weight, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+)
+SELECT s.doc_id,
+       round(sum(s.s) * (CASE WHEN dd.lang = 'en' THEN 2.0 ELSE 1.0 END),
+             6) AS score
+FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+WHERE dd.lang <> 'de'
+GROUP BY s.doc_id, dd.lang"""
+
+    sql["wildcard_boosted"] = """
+SELECT doc_id,
+       round(CASE WHEN lang = 'en' THEN 2.0
+                  WHEN lang = 'fr' THEN 1.5
+                  ELSE 1.0 END::DOUBLE, 6) AS score
+FROM documents WHERE lang <> 'de'"""
 
     sql["term_boosted"] = _bm25_sql(
         "SELECT 'spark' AS term, 2.0 AS weight "
@@ -741,18 +867,66 @@ SELECT m.doc_id,
          AS score
 FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
 
+    # custom processTerm (join→merge synonym fold) at index AND query time;
+    # field_len stays the raw-token count (reference src/add.ts:96)
+    sql["custom_process_term"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> CASE WHEN lower(x) IN ('merge', 'join') THEN 'merge'
+                       ELSE lower(x) END),
+             x -> x <> '')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2
+),
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+  FROM documents
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
+matched AS (
+  SELECT p.doc_id, p.tf, count(*) OVER () AS df
+  FROM postings p WHERE p.term = 'merge'
+)
+SELECT m.doc_id,
+       round(ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+         * (0.5 + (m.tf * 2.2) /
+            (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len))), 6)
+         AS score
+FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
+
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)"""
 
-    sql["near_dup_minhash"] = r"""
-WITH toks AS (
+    # numeric MinHash (round 2): same 32-bit md5-derived term hash + the
+    # same (a,b) universal-hash constants as operators/dedup.py, exact-dup
+    # pre-grouping, and the QUALIFY bucket cap mirroring the Spark window
+    sig_exprs = ",\n".join(
+        f"         min((h32 * {a}::BIGINT + {b}) % {dd.MINHASH_PRIME}) "
+        f"AS sig_{j}"
+        for j, (a, b) in enumerate(dd.MINHASH_PARAMS[:8]))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, sig_{2 * b}::VARCHAR || '|' || "
+        f"sig_{2 * b + 1}::VARCHAR AS band_sig FROM sigs"
+        for b in range(4))
+    sql["near_dup_minhash"] = rf"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+live AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+toks AS (
   SELECT doc_id,
          list_filter(list_transform(
-             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             regexp_split_to_array(text, '[\n\r\p{{Z}}\p{{P}}]+'),
              x -> lower(x)), x -> x <> '') AS t
-  FROM documents
+  FROM live
 ),
 sh AS (
   SELECT doc_id,
@@ -763,20 +937,27 @@ sh AS (
 ),
 tset AS (SELECT DISTINCT doc_id, term FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY doc_id),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(term), 1, 8))::UBIGINT::BIGINT AS h32
+  FROM tset
+),
 sigs AS (
-  SELECT doc_id, j.j,
-         min(md5(term || '#' || j.j)) AS h
-  FROM tset CROSS JOIN (SELECT unnest(range(8)) AS j) j
-  GROUP BY doc_id, j.j
+  SELECT doc_id,
+{sig_exprs}
+  FROM h GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, j // 2 AS band_id,
-         string_agg(h, '|' ORDER BY j) AS band_sig
-  FROM sigs GROUP BY doc_id, j // 2
+{band_rows}
+),
+capped AS (
+  SELECT doc_id, band_id, band_sig FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_sig
+                             ORDER BY doc_id) <= {dd.DEFAULT_MAX_BUCKET}
 ),
 cands AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r
+  FROM capped l JOIN capped r
     ON l.band_id = r.band_id AND l.band_sig = r.band_sig
    AND l.doc_id < r.doc_id
 ),
@@ -814,6 +995,62 @@ bits AS (
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, ({bit_pack})::INT AS simhash FROM bits"""
+
+    # 64-bit simhash: identical bit construction (two 32-bit md5 halves)
+    sim_bit_sums = ",\n".join(
+        f"  sum(CASE WHEN (h_{half} >> {i}) & 1 = 1 THEN tf ELSE -tf END) "
+        f"AS s_{half}_{i}"
+        for half in ("lo", "hi") for i in range(32))
+    sim_packs = {
+        half: " + ".join(f"(CASE WHEN s_{half}_{i} > 0 THEN {1 << i} "
+                         f"ELSE 0 END)" for i in range(32))
+        for half in ("lo", "hi")}
+    _SIM64 = f"""
+tf64 AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substring(md5(term), 1, 8))::UBIGINT::BIGINT AS h_lo,
+         ('0x' || substring(md5(term), 9, 8))::UBIGINT::BIGINT AS h_hi
+  FROM tok GROUP BY doc_id, term
+),
+bits64 AS (
+  SELECT doc_id,
+{sim_bit_sums}
+  FROM tf64 GROUP BY doc_id
+),
+sims64 AS (
+  SELECT doc_id, ({sim_packs['hi']})::BIGINT AS sim_hi,
+         ({sim_packs['lo']})::BIGINT AS sim_lo
+  FROM bits64
+)"""
+    sql["simhash64"] = f"WITH {_TOK},{_SIM64} " \
+        "SELECT doc_id, sim_hi, sim_lo FROM sims64"
+
+    # Hamming-banded near-dup: 4 × 16-bit bands over (hi, lo), verify ≤ 3
+    band_defs = [
+        ("(sim_lo >> 0) & 65535", 0), ("(sim_lo >> 16) & 65535", 1),
+        ("(sim_hi >> 0) & 65535", 2), ("(sim_hi >> 16) & 65535", 3)]
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sim_hi, sim_lo, {bid} AS band_id, "
+        f"{expr} AS band_val FROM sims64"
+        for expr, bid in band_defs)
+    sql["simhash_near_dup"] = f"""
+WITH {_TOK},{_SIM64},
+bands AS (
+{band_union}
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_val
+                             ORDER BY doc_id) <= {dd.DEFAULT_MAX_BUCKET}
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       (bit_count(xor(l.sim_hi, r.sim_hi))
+        + bit_count(xor(l.sim_lo, r.sim_lo)))::INT AS hamming
+FROM capped l JOIN capped r
+  ON l.band_id = r.band_id AND l.band_val = r.band_val
+ AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sim_hi, r.sim_hi))
+      + bit_count(xor(l.sim_lo, r.sim_lo)) <= 3"""
 
     stop = "', '".join(ts.EN_STOPWORDS)
     sql["lang_id"] = rf"""

@@ -58,9 +58,12 @@ def main() -> None:
     E._INDEX_CACHE[("idx", sf_dir)] = idx  # reuse for the query benches
 
     bench_queries = [
-        "bm25_topk", "wand_topk", "bm25_and", "bm25_and_not", "prefix_search",
+        "bm25_topk", "wand_topk", "wand_topk_adaptive", "bm25_and",
+        "bm25_and_not", "prefix_search", "prefix_search_wide",
         "fuzzy_search", "autosuggest", "search_filtered",
-        "dedup_exact", "near_dup_minhash", "simhash", "lang_id",
+        "search_doc_boosted", "custom_process_term",
+        "dedup_exact", "near_dup_minhash", "simhash", "simhash64",
+        "simhash_near_dup", "lang_id",
         "text_quality", "token_counts", "fingerprint",
         "ann_cosine_topk", "ann_lsh_topk",
     ]

@@ -27,6 +27,11 @@ DEFAULT_WEIGHTS = {"fuzzy": 0.45, "prefix": 0.375}
 
 DEFAULT_MAX_FUZZY = 6  # reference: src/defaults.ts:31 (maxFuzzy)
 
+# Prefix/fuzzy expansion: matched dictionary slices up to this size are
+# collected and broadcast (lowest-latency path); larger slices stay as a
+# joined DataFrame so the driver never materializes a wide expansion.
+DEFAULT_EXPANSION_COLLECT_THRESHOLD = 10_000
+
 # Tokenizer split class (reference: src/constant.ts:3). Unicode Symbol chars
 # (+ = < > | $ ~ ^ `) are NOT separators — significant for source code.
 TOKEN_SPLIT_PATTERN = r"[\n\r\p{Z}\p{P}]+"
@@ -99,6 +104,11 @@ def get_default_value(option_name: str):
     return DEFAULT_OPTIONS[option_name]
 
 
+# Auto-vacuum trigger thresholds (reference src/defaults.ts:43-49):
+# vacuum runs after a discard when BOTH are reached.
+DEFAULT_AUTO_VACUUM = {"minDirtCount": 20, "minDirtFactor": 0.1}
+
+
 @dataclass
 class IndexConfig:
     """Index-build options (reference createIndex, src/SearchIndex.ts:143-197)."""
@@ -111,6 +121,19 @@ class IndexConfig:
     # Both are validated equal on the parity corpora (tests/test_tokenize.py).
     tokenizer: str = "jvm"
     search_options: Optional[SearchOptions] = None
+    # True (reference default) = vacuum automatically when dirt_count ≥
+    # minDirtCount AND dirt_factor ≥ minDirtFactor; a dict overrides the
+    # thresholds; False disables (src/defaults.ts:25, src/vacuum.ts:15-21).
+    auto_vacuum: Union[bool, Mapping[str, float]] = True
+    # index-time analysis chain overrides (reference src/defaults.ts:15-16,
+    # src/add.ts:97-113): tokenize(text)->tokens and processTerm(term)->
+    # term | list[term] | falsy-to-drop. Applied at BUILD and reused
+    # query-side unless per-query options override them.
+    tokenize: Optional[Callable[[str], Sequence[str]]] = None
+    process_term: Optional[Callable[[str], Any]] = None
+    # logger(level, message) — reference src/defaults.ts:22; default routes
+    # engine warnings through warnings.warn
+    logger: Optional[Callable[[str, str], None]] = None
 
 
 @dataclass

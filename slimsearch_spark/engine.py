@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .config import (AND, DEFAULT_BM25, DEFAULT_MAX_FUZZY, DEFAULT_WEIGHTS,
-                     OR, WILDCARD, IndexConfig)
+from .config import (AND, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
+                     DEFAULT_EXPANSION_COLLECT_THRESHOLD, DEFAULT_MAX_FUZZY,
+                     DEFAULT_WEIGHTS, OR, WILDCARD, IndexConfig)
 from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats, tokenize_fields)
@@ -58,7 +59,12 @@ class SparkSearchIndex:
         self.doc_count = doc_count
         self.avg_field_length = avg_field_length
         self.next_id = next_id
+        # tombstones: a driver list for point discards (cheap, broadcast)
+        # plus an optional DataFrame for mass discards (discard_where) —
+        # the persisted-table scale form; millions of tombstones never
+        # materialize on the driver
         self.tombstones: List[int] = []
+        self._tombstone_df: Optional[DataFrame] = None
         self.dirt_count = 0
         self._search_options: dict = {}
         if config.search_options is not None:
@@ -93,19 +99,47 @@ class SparkSearchIndex:
                    doc_count, avg_len, next_id=doc_count, cache=cache)
 
     # ---------------------------------------------------------------- helpers
+    def has_tombstones(self) -> bool:
+        return bool(self.tombstones) or self._tombstone_df is not None
+
+    def _all_tombstones(self) -> Optional[DataFrame]:
+        """All tombstoned doc_ids as a DataFrame: the driver list (point
+        discards) unioned with the mass-discard table. Broadcast only when
+        the table part is absent — a discard_where tombstone set can be
+        corpus-sized and AQE must pick the join."""
+        parts = []
+        if self.tombstones:
+            parts.append(self.spark.createDataFrame(
+                [(int(d),) for d in self.tombstones], "doc_id long"))
+        if self._tombstone_df is not None:
+            parts.append(self._tombstone_df.select("doc_id"))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return F.broadcast(df) if self._tombstone_df is None else df
+
     def live_postings(self) -> DataFrame:
-        if not self.tombstones:
+        tomb = self._all_tombstones()
+        if tomb is None:
             return self.postings
-        tomb = self.spark.createDataFrame(
-            [(int(d),) for d in self.tombstones], "doc_id long")
-        return self.postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return self.postings.join(tomb, "doc_id", "left_anti")
 
     def live_docs(self) -> DataFrame:
-        if not self.tombstones:
+        tomb = self._all_tombstones()
+        if tomb is None:
             return self.docs
-        tomb = self.spark.createDataFrame(
-            [(int(d),) for d in self.tombstones], "doc_id long")
-        return self.docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return self.docs.join(tomb, "doc_id", "left_anti")
+
+    def _log(self, level: str, message: str) -> None:
+        """Route engine diagnostics through the configured logger
+        (reference logger option, src/defaults.ts:22, src/warning.ts)."""
+        if self.config.logger is not None:
+            self.config.logger(level, message)
+        else:
+            import warnings
+            warnings.warn(message)
 
     def term_dictionary(self, field_ids: Sequence[int]) -> DataFrame:
         """Distinct (term, field_id) over live postings — the prefix/fuzzy
@@ -121,16 +155,20 @@ class SparkSearchIndex:
 
     # -------------------------------------------------------------- expansion
     def _expand_spec(self, spec: dict, opts: dict,
-                     field_ids: Sequence[int]) -> List[tuple]:
+                     field_ids: Sequence[int]) -> tuple:
         """Build the (branch, query_term, derived_term, rank, weight,
-        term_boost) expansion rows for one query spec — the Spark-native
+        term_boost) expansion for one query spec — the Spark-native
         executeQuerySpec term expansion (src/results.ts:170-286).
 
-        Exact match needs no dictionary lookup (the postings join is the
-        lookup). Prefix = startswith range predicate on the sorted term
-        dictionary; fuzzy = threshold Levenshtein with a length-window
-        pre-filter. Matched dictionary slices are tiny and collected to the
-        driver to form the broadcast expansion table.
+        Returns ``(rows, df)``: driver rows for the exact term plus, when the
+        matched dictionary slice is small (≤ ``expansionCollectThreshold``,
+        default 10k), the prefix/fuzzy expansion as driver rows too
+        (broadcast path). When a short prefix over a huge vocabulary matches
+        more terms than the threshold, the expansion stays a DataFrame —
+        weight is pure column arithmetic on ``length(term)`` and the
+        Levenshtein distance, rank a window over (class, term) — and is
+        joined, never collected: the driver holds at most threshold+1 rows
+        regardless of vocabulary size.
         """
         term = spec["term"]
         branch = spec["branch"]
@@ -146,7 +184,7 @@ class SparkSearchIndex:
                 opts.get("maxFuzzy", DEFAULT_MAX_FUZZY),
                 js_round(len(term) * fuzzy))
         if not need_prefix and not max_dist:
-            return rows
+            return rows, None
 
         dictionary = self.term_dictionary(field_ids)
         conds = []
@@ -166,7 +204,19 @@ class SparkSearchIndex:
                 "__lev", F.levenshtein(F.col("term"), F.lit(term), max_dist))
         else:
             cand = cand.withColumn("__lev", F.lit(-1))
-        matched = cand.collect()
+
+        threshold = int(opts.get("expansionCollectThreshold",
+                                 DEFAULT_EXPANSION_COLLECT_THRESHOLD))
+        matched = None
+        if threshold > 0:
+            # one size-capped probe job: the driver never receives more
+            # than threshold+1 rows, however many terms match
+            matched = cand.limit(threshold + 1).collect()
+            if len(matched) > threshold:
+                matched = None
+        if matched is None:
+            return rows, self._expansion_df(cand, spec, weights,
+                                            need_prefix, max_dist)
 
         prefix_terms = sorted(r["term"] for r in matched
                               if need_prefix and r["term"].startswith(term))
@@ -189,7 +239,46 @@ class SparkSearchIndex:
             w = weights["fuzzy"] * len(t) / (len(t) + distance)
             rows.append((branch, term, t, rank, float(w), tb))
             rank += 1
-        return rows
+        return rows, None
+
+    def _expansion_df(self, cand: DataFrame, spec: dict,
+                      weights: Mapping[str, float], need_prefix: bool,
+                      max_dist: int) -> DataFrame:
+        """Distributed expansion: the matched dictionary slice as a
+        DataFrame in EXPANSION_SCHEMA shape — same weights, ranks, and
+        prefix-over-fuzzy dedupe as the driver path (validated equal in
+        tests/test_spark_parity.py), no collect.
+
+        rank is a row_number window over (class, term) — a single-partition
+        sort of the matched *terms only* (not postings); it exists for the
+        ``match`` ordering in parity output and costs far less than
+        collecting the slice. Scores never depend on it."""
+        term = spec["term"]
+        qlen = len(term)
+        is_prefix = (F.col("term").startswith(term) if need_prefix
+                     else F.lit(False))
+        out = (cand
+               .where(F.col("term") != term)  # exact is a driver row
+               .withColumn("__cls", F.when(is_prefix, F.lit(1))
+                           .otherwise(F.lit(2))))
+        if max_dist:
+            # non-prefix candidates must be real fuzzy hits (distance > 0)
+            out = out.where((F.col("__cls") == 1) | (F.col("__lev") > 0))
+        tl = F.length("term").cast("double")
+        w_prefix = float(weights["prefix"]) * tl / (tl + 0.3 * (tl - qlen))
+        w_fuzzy = (float(weights["fuzzy"]) * tl
+                   / (tl + F.col("__lev").cast("double")))
+        from pyspark.sql import Window
+        rank = F.row_number().over(
+            Window.orderBy(F.col("__cls"), F.col("term")))
+        return out.select(
+            F.lit(spec["branch"]).cast("int").alias("branch"),
+            F.lit(term).alias("query_term"),
+            F.col("term").alias("derived_term"),
+            rank.cast("int").alias("rank"),
+            F.when(F.col("__cls") == 1, w_prefix).otherwise(w_fuzzy)
+            .cast("double").alias("weight"),
+            F.lit(float(spec["termBoost"])).alias("term_boost"))
 
     def _pruned_postings(self, postings: DataFrame,
                          derived_terms: Sequence[str]) -> DataFrame:
@@ -214,8 +303,21 @@ class SparkSearchIndex:
         """Driver-side query planning for a string query: tokenize →
         processTerm → per-term QuerySpec → expansion rows (the Spark-native
         executeQuery string path, src/results.ts:288-325)."""
-        process_term = opts.get("processTerm") or _default_process_term
-        tokenize = opts.get("tokenize") or tokenize_py
+        # index-time callables are the query-side defaults (the reference
+        # reuses _options.tokenize/processTerm at search, src/results.ts);
+        # at query time they are called without the field argument
+        from .functions.tokenize import accepts_field_arg
+        process_term = (opts.get("processTerm") or self.config.process_term
+                        or _default_process_term)
+        tokenize = (opts.get("tokenize") or self.config.tokenize
+                    or tokenize_py)
+        if tokenize is not tokenize_py and accepts_field_arg(tokenize):
+            base_tok = tokenize
+            tokenize = lambda text: base_tok(text, None)  # noqa: E731
+        if process_term is not _default_process_term and \
+                accepts_field_arg(process_term):
+            base_proc = process_term
+            process_term = lambda t: base_proc(t, None)  # noqa: E731
         terms: List[str] = []
         for token in tokenize(query):
             pt = process_term(token)
@@ -224,7 +326,7 @@ class SparkSearchIndex:
             elif pt:
                 terms.append(pt)
         if not terms:
-            return [], []
+            return [], [], []
 
         specs = []
         for i, term in enumerate(terms):
@@ -239,9 +341,13 @@ class SparkSearchIndex:
             })
 
         expansion_rows: List[tuple] = []
+        expansion_dfs: List[DataFrame] = []
         for spec in specs:
-            expansion_rows.extend(self._expand_spec(spec, opts, field_ids))
-        return specs, expansion_rows
+            rows, df = self._expand_spec(spec, opts, field_ids)
+            expansion_rows.extend(rows)
+            if df is not None:
+                expansion_dfs.append(df)
+        return specs, expansion_rows, expansion_dfs
 
     # ----------------------------------------------------------------- query
     def _doc_boost_df(self, boost_document: Callable,
@@ -266,6 +372,20 @@ class SparkSearchIndex:
             T.StructField("doc_boost", T.DoubleType())])
         return self.spark.createDataFrame(rows, schema)
 
+    def _doc_boost_col_df(self, boost) -> DataFrame:
+        """Column-expression boostDocument fast path: evaluated once per
+        live doc over the stored-field row store, entirely executor-side —
+        no ``live_docs().collect()``. A Column boost is term-independent
+        (only the callable form sees the derived term); falsy (NULL / 0)
+        drops the doc, matching the reference's falsy ⇒ skip semantics
+        (src/results.ts:123-126)."""
+        if isinstance(boost, str):
+            boost = F.expr(boost)
+        return (self.live_docs()
+                .select("doc_id", boost.cast("double").alias("doc_boost"))
+                .where(F.col("doc_boost").isNotNull()
+                       & (F.col("doc_boost") != 0.0)))
+
     def _execute_query(self, query, options: dict, branch_seed: int = 0) -> DataFrame:
         opts = {**self._search_options, **options}
         if query is WILDCARD:
@@ -277,6 +397,21 @@ class SparkSearchIndex:
                     F.expr("cast(array() as array<string>)").alias("qterms"),
                     F.expr("cast(array() as array<struct<branch:int,rank:int,"
                            "term:string,field_id:int>>)").alias("match"))
+            if not callable(bd):
+                # Column fast path: score = boost, falsy docs dropped
+                boost = F.expr(bd) if isinstance(bd, str) else bd
+                return (docs
+                        .select("doc_id",
+                                boost.cast("double").alias("score"))
+                        .where(F.col("score").isNotNull()
+                               & (F.col("score") != 0.0))
+                        .select(
+                            "doc_id", "score",
+                            F.expr("cast(array() as array<string>)")
+                            .alias("qterms"),
+                            F.expr("cast(array() as array<struct<branch:int,"
+                                   "rank:int,term:string,field_id:int>>)")
+                            .alias("match")))
             rows = []
             for r in docs.collect():
                 d = r.asDict()
@@ -308,21 +443,43 @@ class SparkSearchIndex:
                              for f in fields}
         bm25 = {**DEFAULT_BM25, **(opts.get("bm25") or {})}
 
-        specs, expansion_rows = self._plan_string_query(
+        specs, expansion_rows, expansion_dfs = self._plan_string_query(
             query, opts, field_ids, branch_seed)
         if not specs:
             return empty_result(self.spark)
 
+        expansion = expansion_rows
+        if expansion_dfs:
+            # wide expansion: union the driver rows with the DataFrame
+            # slices and join (no broadcast of an unbounded term set)
+            from .plans.scoring import EXPANSION_SCHEMA
+            expansion = self.spark.createDataFrame(
+                expansion_rows, EXPANSION_SCHEMA)
+            for df in expansion_dfs:
+                expansion = expansion.unionByName(df)
+
         doc_boost_df = None
         bd = opts.get("boostDocument")
-        if bd is not None:
+        if bd is not None and callable(bd):
             derived = sorted({r[2] for r in expansion_rows})
+            if expansion_dfs:
+                # driver-parity path only: the callable needs the term list
+                derived = sorted({r["derived_term"] for df in expansion_dfs
+                                  for r in df.select("derived_term")
+                                  .distinct().collect()} | set(derived))
             doc_boost_df = self._doc_boost_df(bd, derived)
+        elif bd is not None:
+            # Column-expression fast path: term-independent boost evaluated
+            # over the stored fields, falsy ⇒ skip doc (src/results.ts:123-126)
+            doc_boost_df = self._doc_boost_col_df(bd)
 
-        postings = self._pruned_postings(
-            self.live_postings(), [r[2] for r in expansion_rows])
+        if expansion_dfs:
+            postings = self.live_postings()
+        else:
+            postings = self._pruned_postings(
+                self.live_postings(), [r[2] for r in expansion_rows])
         scored = score_expansion(
-            self.spark, postings, self.doc_stats, expansion_rows,
+            self.spark, postings, self.doc_stats, expansion,
             field_ids, field_boost_by_id, self.avg_field_length,
             self.doc_count, bm25, doc_boost_df)
 
@@ -375,22 +532,57 @@ class SparkSearchIndex:
     def search_topk_wand(self, query: str, k: int,
                          posting_lists: Optional[DataFrame] = None,
                          layout=None, metrics: Optional[dict] = None,
+                         adaptive_min_docs: int = 100_000,
                          **options) -> DataFrame:
         """Top-k search over the compacted index with distributed block-max
-        WAND pruning (plans/wand.py) — scores identical to ``search_df`` with
-        the same options; only provably sub-threshold docs are skipped.
+        WAND pruning (plans/wand.py).
 
-        OR-combination over a flat string query (the reference's default
-        search surface); requires a compacted, tombstone-free index."""
+        Contract: SINGLE-FIELD, OR-combined flat string queries over a
+        compacted, tombstone-free index; ``filter`` and ``boostDocument``
+        are not supported on this path (use ``search_df(top_k=k)``). Within
+        that contract, scores are identical to ``search_df`` and only
+        provably sub-threshold docs are skipped. Unsupported options raise
+        instead of silently returning wrong results."""
         from .plans.wand import wand_topk
-        if self.tombstones:
+        if self.has_tombstones():
             raise ValueError("WAND path requires a vacuumed index "
                              "(run vacuum() first)")
         opts = {**self._search_options, **options}
+        cw = str(opts.get("combineWith", OR)).lower()
+        if cw != OR:
+            raise ValueError(
+                f"search_topk_wand supports combineWith=OR only (got {cw}); "
+                "use search_df for AND/AND_NOT")
+        for unsupported in ("filter", "boostDocument"):
+            if opts.get(unsupported) is not None:
+                raise ValueError(
+                    f"search_topk_wand does not support {unsupported}; "
+                    "use search_df(top_k=k)")
         fields = opts.get("fields") or list(self.config.fields)
         field_ids = [self.field_ids[f] for f in fields]
+        if len(field_ids) > 1:
+            raise ValueError(
+                "search_topk_wand scores a single field; pass "
+                f"fields=[<one of {list(fields)}>] or use search_df(top_k=k)")
+        if (posting_lists is None and metrics is None
+                and self.doc_count < adaptive_min_docs):
+            # adaptive skip: below the crossover, the θ0 pre-pass + route/
+            # shard stages cost more than they prune (measured in
+            # BASELINE.md §WAND crossover) — the exact single-plan top-k is
+            # result-identical by contract and faster. Callers probing the
+            # pruning machinery (metrics=) or serving saved compacted lists
+            # always get the real WAND path.
+            return (self.search_df(query, top_k=k, **options)
+                    .select("doc_id", "score"))
         boost = opts.get("boost") or {}
-        _, expansion_rows = self._plan_string_query(query, opts, field_ids)
+        _, expansion_rows, expansion_dfs = self._plan_string_query(
+            query, opts, field_ids)
+        if expansion_dfs:
+            raise ValueError(
+                "search_topk_wand plans the expansion driver-side; this "
+                "query's prefix/fuzzy expansion exceeds "
+                "expansionCollectThreshold — raise the threshold or use "
+                "search_df(top_k=k)")
         if posting_lists is None:
             lists = self.posting_lists(layout)
             # the grid span the cached lists were actually built with
@@ -501,11 +693,11 @@ class SparkSearchIndex:
         cannot corrupt sibling docs like the reference's tf-decrement can).
         """
         ext_ids = [d[self.config.id_field] for d in docs]
-        rows = (self.docs.where(F.col(self.config.id_field).isin(ext_ids))
+        rows = (self.live_docs()
+                .where(F.col(self.config.id_field).isin(ext_ids))
                 .select("doc_id", self.config.id_field).collect())
         found = {r[self.config.id_field]: int(r["doc_id"]) for r in rows}
-        missing = [e for e in ext_ids
-                   if e not in found or found[e] in self.tombstones]
+        missing = [e for e in ext_ids if e not in found]
         if missing:
             raise ValueError(
                 f"cannot remove document with ID {missing[0]}: "
@@ -526,12 +718,17 @@ class SparkSearchIndex:
         stored = self.postings.join(F.broadcast(victims), "doc_id",
                                     "left_semi")
         cols = ["term", "field_id", "doc_id", "tf"]
-        changed = (derived.select(*cols)
-                   .exceptAll(stored.select(*cols)).limit(1).count())
+        # both directions in one pass: derived ⊖ stored catches added /
+        # changed postings, a row-count mismatch catches pure removals
+        # (stored rows the re-derived doc no longer produces) — the
+        # reference warns on any changed document (src/warning.ts)
+        d_cnt, s_cnt = derived.count(), stored.count()
+        changed = d_cnt != s_cnt or (derived.select(*cols)
+                                     .exceptAll(stored.select(*cols))
+                                     .limit(1).count())
         if changed:
-            import warnings
-            warnings.warn("slimsearch_spark: some documents have changed "
-                          "before removal (version_conflict)")
+            self._log("warn", "slimsearch_spark: some documents have "
+                              "changed before removal (version_conflict)")
 
         sums = (self.doc_stats.join(F.broadcast(victims), "doc_id",
                                     "left_semi")
@@ -564,6 +761,7 @@ class SparkSearchIndex:
                 self._remove_docs(docs)
             return
         self.tombstones = []
+        self._tombstone_df = None
         self.postings = self.postings.limit(0).cache()
         self.doc_stats = self.doc_stats.limit(0).cache()
         self.docs = self.docs.limit(0).cache()
@@ -575,10 +773,12 @@ class SparkSearchIndex:
 
     def discard(self, ext_id) -> None:
         """Tombstone delete (reference src/remove.ts:63-88): doc disappears
-        from searches immediately; postings stay until vacuum."""
-        row = (self.docs.where(F.col(self.config.id_field) == ext_id)
+        from searches immediately; postings stay until vacuum (which runs
+        automatically past the configured dirt thresholds)."""
+        row = (self.live_docs()
+               .where(F.col(self.config.id_field) == ext_id)
                .select("doc_id").collect())
-        if not row or int(row[0]["doc_id"]) in self.tombstones:
+        if not row:
             raise ValueError(
                 f"cannot discard document with ID {ext_id}: not in the index")
         doc_id = int(row[0]["doc_id"])
@@ -594,10 +794,12 @@ class SparkSearchIndex:
         self.tombstones.append(doc_id)
         self.doc_count -= 1
         self.dirt_count += 1
+        self._maybe_auto_vacuum()
 
     def discard_all(self, ext_ids: Sequence) -> None:
-        for e in ext_ids:
-            self.discard(e)
+        """Batch tombstone (reference discardAll, src/remove.ts:105-120) —
+        one batched plan, not a per-id loop."""
+        self.discard_many(ext_ids)
 
     def discard_many(self, ext_ids: Sequence) -> None:
         """Batch tombstone (reference discardAll, src/remove.ts:105-120) with
@@ -606,9 +808,10 @@ class SparkSearchIndex:
         from a running mean is order-independent when every doc has the
         field)."""
         ids = list(ext_ids)
-        rows = (self.docs.where(F.col(self.config.id_field).isin(ids))
+        rows = (self.live_docs()
+                .where(F.col(self.config.id_field).isin(ids))
                 .select("doc_id").collect())
-        doc_ids = {int(r["doc_id"]) for r in rows} - set(self.tombstones)
+        doc_ids = {int(r["doc_id"]) for r in rows}
         if len(doc_ids) != len(ids):
             raise ValueError("cannot discard: some IDs not in the index")
         tomb = self.spark.createDataFrame([(d,) for d in doc_ids],
@@ -628,23 +831,86 @@ class SparkSearchIndex:
         self.tombstones.extend(sorted(doc_ids))
         self.doc_count -= len(doc_ids)
         self.dirt_count += len(doc_ids)
+        self._maybe_auto_vacuum()
+
+    def discard_where(self, condition) -> int:
+        """Mass tombstone by predicate over the row store — the persisted-
+        tombstone-table scale form: the matched doc_ids never reach the
+        driver (no list, no broadcast); stats update is one aggregation
+        job. → number of docs discarded.
+
+        ``condition``: a Column / SQL string over the stored-field columns.
+        """
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        victims = (self.live_docs().where(condition)
+                   .select("doc_id").cache())
+        sums = (self.doc_stats.join(victims, "doc_id", "left_semi")
+                .groupBy("field_id")
+                .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+                .collect())
+        n_victims = victims.count()
+        if not n_victims:
+            victims.unpersist()
+            return 0
+        n = self.doc_count
+        for r in sums:
+            fid, s, c = r["field_id"], r["s"], r["c"]
+            old = self.avg_field_length.get(fid, 0.0)
+            if n - c <= 0:
+                self.avg_field_length[fid] = 0.0
+            else:
+                self.avg_field_length[fid] = (old * n - s) / (n - c)
+        if self._tombstone_df is None:
+            self._tombstone_df = victims
+        else:
+            self._tombstone_df = (self._tombstone_df.select("doc_id")
+                                  .unionByName(victims.select("doc_id"))
+                                  .cache())
+        self.doc_count -= n_victims
+        self.dirt_count += n_victims
+        self._maybe_auto_vacuum()
+        return n_victims
+
+    @property
+    def dirt_factor(self) -> float:
+        """Proportion of discarded docs (reference SearchIndex.ts:215-217)."""
+        return self.dirt_count / (1 + self.doc_count + self.dirt_count)
+
+    def _maybe_auto_vacuum(self) -> None:
+        """Vacuum automatically after a discard once BOTH thresholds are
+        reached (reference maybeAutoVacuum, src/vacuum.ts:15-21,100-108;
+        defaults minDirtCount=20, minDirtFactor=0.1, src/defaults.ts:43-49).
+        ``IndexConfig.auto_vacuum``: True = defaults, dict = overrides,
+        False = manual vacuum only. Batching knobs (batchSize/batchWait)
+        are cooperative-scheduling artifacts with no Spark analogue — the
+        vacuum rewrite is already one batched distributed plan."""
+        av = getattr(self.config, "auto_vacuum", True)
+        if av is False or av is None:
+            return
+        conds = dict(DEFAULT_AUTO_VACUUM)
+        if isinstance(av, Mapping):
+            conds.update(av)
+        if (self.dirt_count >= conds["minDirtCount"]
+                and self.dirt_factor >= conds["minDirtFactor"]):
+            self.vacuum()
 
     def vacuum(self) -> None:
         """Compaction rewrite (reference src/vacuum.ts:23-108): drop postings
         and stats of tombstoned docs, reset dirt."""
-        if not self.tombstones:
+        tomb = self._all_tombstones()
+        if tomb is None:
             self.dirt_count = 0
             return
-        tomb = self.spark.createDataFrame(
-            [(int(d),) for d in self.tombstones], "doc_id long")
         self.postings = (self.postings
-                         .join(F.broadcast(tomb), "doc_id", "left_anti").cache())
+                         .join(tomb, "doc_id", "left_anti").cache())
         self.doc_stats = (self.doc_stats
-                          .join(F.broadcast(tomb), "doc_id", "left_anti").cache())
+                          .join(tomb, "doc_id", "left_anti").cache())
         self.docs = (self.docs
-                     .join(F.broadcast(tomb), "doc_id", "left_anti").cache())
+                     .join(tomb, "doc_id", "left_anti").cache())
         self.postings.count()
         self.tombstones = []
+        self._tombstone_df = None
         self.dirt_count = 0
         self._invalidate_posting_lists()
 
@@ -673,9 +939,15 @@ class SparkSearchIndex:
             self.config.id_field, "left_semi").limit(1).collect())
         if dup:
             raise ValueError(f"duplicate ID {dup[0][self.config.id_field]}")
+        dup_in = (new_docs.groupBy(self.config.id_field)
+                  .count().where(F.col("count") > 1).limit(1).collect())
+        if dup_in:
+            raise ValueError(
+                f"duplicate ID {dup_in[0][self.config.id_field]} within "
+                "the add_all batch")
         if "doc_id" in new_docs.columns:
             # caller-provided internal ids (same trust as build); they must
-            # not collide with existing ones
+            # not collide with existing ones nor repeat within the batch
             assigned = new_docs
             clash = (assigned.select("doc_id")
                      .join(self.docs.select("doc_id"), "doc_id", "left_semi")
@@ -683,6 +955,12 @@ class SparkSearchIndex:
             if clash:
                 raise ValueError(
                     f"duplicate doc_id {clash[0]['doc_id']} in add_all")
+            clash_in = (assigned.groupBy("doc_id").count()
+                        .where(F.col("count") > 1).limit(1).collect())
+            if clash_in:
+                raise ValueError(
+                    f"duplicate doc_id {clash_in[0]['doc_id']} within "
+                    "the add_all batch")
         else:
             assigned = assign_doc_ids(new_docs, order_cols)
             assigned = assigned.withColumn(

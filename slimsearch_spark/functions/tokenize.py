@@ -76,6 +76,58 @@ def terms_udf(texts: pd.Series) -> pd.Series:
     return texts.map(analyze)
 
 
+def accepts_field_arg(fn) -> bool:
+    """True if the user callable takes a second positional (field) argument
+    — the reference passes (text|term, fieldName) (src/add.ts:93,106)."""
+    import inspect
+    try:
+        params = list(inspect.signature(fn).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    positional = [p for p in params if p.kind in
+                  (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD,
+                   p.VAR_POSITIONAL)]
+    if any(p.kind == p.VAR_POSITIONAL for p in positional):
+        return True
+    return len(positional) >= 2
+
+
+def custom_analysis_udf(tokenize_fn, process_fn, field_name: str):
+    """Arrow-vectorized index-time analysis with user callables (reference
+    src/add.ts:93-113): tokenize(text[, field]) → raw tokens;
+    field_len = len(set(raw tokens)); per token processTerm(term[, field])
+    → str | list[str] (1→N expansion) | falsy (dropped).
+
+    Returns a pandas UDF producing struct<terms: array<string>,
+    field_len: int> so the text is tokenized exactly once per row."""
+    tok = tokenize_fn or tokenize_py
+    proc = process_fn or (lambda t: t.lower())
+    tok_2 = tokenize_fn is not None and accepts_field_arg(tokenize_fn)
+    proc_2 = process_fn is not None and accepts_field_arg(process_fn)
+
+    @F.pandas_udf("terms array<string>, field_len int")
+    def analyze(texts: pd.Series) -> pd.DataFrame:
+        out_terms, out_len = [], []
+        for s in texts:
+            if s is None:
+                out_terms.append([])
+                out_len.append(0)
+                continue
+            raw = tok(s, field_name) if tok_2 else tok(s)
+            terms = []
+            for t in raw:
+                p = proc(t, field_name) if proc_2 else proc(t)
+                if isinstance(p, (list, tuple)):
+                    terms.extend(x for x in p if x)
+                elif p:
+                    terms.append(p)
+            out_terms.append(terms)
+            out_len.append(len(set(raw)))
+        return pd.DataFrame({"terms": out_terms, "field_len": out_len})
+
+    return analyze
+
+
 def terms_col(col: Column, tokenizer: str = "jvm") -> Column:
     """Analyzed-term array column under the configured tokenizer path."""
     if tokenizer == "jvm":

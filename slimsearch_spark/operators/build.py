@@ -60,20 +60,41 @@ def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
 
     ``field_len`` = count of UNIQUE RAW tokens (pre-processTerm, including the
     empty boundary token, exactly like ``new Set(tokens).size`` over a JS
-    split — reference src/add.ts:96, parity note P1)."""
+    split — reference src/add.ts:96, parity note P1).
+
+    Field names may be dot-paths into struct columns (``author.name``) —
+    the Spark-native form of the reference's nested extractField default
+    (src/defaults.ts:10-14). Custom ``config.tokenize`` / ``process_term``
+    callables run in one Arrow-batched pandas UDF per field (reference
+    add-time chain src/add.ts:93-113, incl. 1→N expansion and falsy-drop),
+    and the same callables are the query-side defaults."""
+    custom = (getattr(config, "tokenize", None) is not None
+              or getattr(config, "process_term", None) is not None)
     parts = []
     for fid, fname in enumerate(config.fields):
-        part = (docs
-                .where(F.col(fname).isNotNull())
-                .select(
-                    "doc_id",
-                    F.lit(fid).alias("field_id"),
-                    terms_col(F.col(fname).cast("string"),
-                              config.tokenizer).alias("terms"),
-                    F.size(F.array_distinct(
-                        raw_tokens_col(F.col(fname).cast("string"),
-                                       config.tokenizer))).alias("field_len"),
-                ))
+        src = F.col(fname).cast("string")
+        if custom:
+            from ..functions.tokenize import custom_analysis_udf
+            udf = custom_analysis_udf(config.tokenize, config.process_term,
+                                      fname)
+            part = (docs
+                    .where(F.col(fname).isNotNull())
+                    .select("doc_id", F.lit(fid).alias("field_id"),
+                            udf(src).alias("__a"))
+                    .select("doc_id", "field_id",
+                            F.col("__a.terms").alias("terms"),
+                            F.col("__a.field_len").alias("field_len")))
+        else:
+            part = (docs
+                    .where(F.col(fname).isNotNull())
+                    .select(
+                        "doc_id",
+                        F.lit(fid).alias("field_id"),
+                        terms_col(src, config.tokenizer).alias("terms"),
+                        F.size(F.array_distinct(
+                            raw_tokens_col(src, config.tokenizer)))
+                        .alias("field_len"),
+                    ))
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:

@@ -3,26 +3,63 @@
 All pure DataFrame ops (no Python in the hot path):
 
 * exact_dedup        — hash-groupBy on content
-* minhash_signatures — K portable MinHashes (min of md5(term#k) hex strings)
-* lsh_candidate_pairs — banded MinHash-LSH bucket join
-* near_dup_pairs     — LSH candidates + exact Jaccard verify
-* simhash            — 16-bit SimHash from md5 nibbles, tf-weighted
+* minhash_signatures — K numeric MinHashes (universal hashing over one
+                       md5-derived 32-bit term hash)
+* lsh_candidate_pairs — banded MinHash-LSH bucket join with a bucket-size cap
+* near_dup_pairs     — exact-dup pre-group → LSH candidates → exact Jaccard
+* simhash64 / simhash16 — tf-weighted SimHash fingerprints
+* simhash_near_dup   — Hamming-banded SimHash pair detection
 
-MinHash uses lexicographic min over md5 hex digests so the same signature is
-computable in any engine (portability beats raw speed for the oracle path;
-xxhash64 variants are a drop-in swap at scale).
+Hashing is portable across engines (the DuckDB oracle computes identical
+signatures): term → md5 hex → first/second 8 hex chars parsed base-16 give
+two independent 32-bit integers; MinHash permutations are (a·h + b) mod p
+with fixed constants and p prime > 2^32, so every product stays < 2^62
+(safe under ANSI arithmetic). One md5 per distinct (doc, term) — the
+round-1 design paid 8 md5-string mins per term and the min itself compared
+32-char strings; numeric mins are ~an order of magnitude cheaper.
 
-At 100 TB: everything keys on (band, signature) or content-hash — uniform
-hash keys, no skew; joins are shuffle-hash on high-cardinality keys, and the
-pair-verify join only touches LSH-colliding docs.
+At 100 TB:
+* every join keys on (band, signature) or a content hash — uniform except
+  for mass-duplicated boilerplate, which is why ``near_dup_pairs`` first
+  collapses exact duplicates (one representative per distinct text) and
+  ``lsh_candidate_pairs`` caps bucket fan-out: an m-doc bucket emits
+  m(m-1)/2 pairs, so a 1M-doc boilerplate bucket would emit 5·10^11 pairs
+  without the cap.
+* the pair-verify join only touches LSH-colliding docs (left_semi prune
+  then equi-join on (doc, term) — never per-pair set intersection).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import terms_col
+
+# MinHash universal-hash constants: (a, b) per permutation, a odd and
+# < 2^30 so a·h32 + b < 2^62 (no 64-bit overflow under ANSI mode).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+MINHASH_PARAMS: List[Tuple[int, int]] = [
+    ((j * 2654435761 + 1) % (1 << 30) | 1, (j * 1099511628211 + 12345) % MINHASH_PRIME)
+    for j in range(1, 17)
+]
+
+# Default cap on LSH bucket membership: pairs are generated only among the
+# first CAP members (by doc_id) of each (band, signature) bucket. With
+# exact duplicates pre-grouped, buckets above the cap are near-certainly
+# template/boilerplate clusters whose representatives are already mutually
+# similar; the cap bounds worst-case pair fan-out at CAP²/2 per bucket.
+DEFAULT_MAX_BUCKET = 256
+
+
+def term_hash32(col, offset: int = 1):
+    """Portable 32-bit term hash: hex chars [offset, offset+8) of md5,
+    parsed base-16. offset=1 and offset=9 give two independent hashes from
+    one digest. Identical in DuckDB:
+    ``('0x' || substring(md5(t), offset, 8))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("long")
 
 
 def doc_terms(docs: DataFrame, text_col: str = "text",
@@ -65,17 +102,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(term_sets: DataFrame, k: int = 8) -> DataFrame:
-    """→ (doc_id, sig_0..sig_{k-1}): portable MinHash over distinct terms."""
-    aggs = [F.min(F.md5(F.concat(F.col("term"), F.lit(f"#{j}"))))
-            .alias(f"sig_{j}") for j in range(k)]
+    """→ (doc_id, sig_0..sig_{k-1}): numeric MinHash over distinct terms.
+
+    One md5 per (doc, term) row → 32-bit hash → k universal-hash mins
+    (BIGINT arithmetic, map-side combinable). Portable: the DuckDB oracle
+    computes bit-identical signatures from MINHASH_PARAMS."""
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(f"k > {len(MINHASH_PARAMS)} needs more "
+                         "MINHASH_PARAMS entries")
+    h = term_hash32(F.col("term"))
+    aggs = [F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+            .alias(f"sig_{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS[:k])]
     return term_sets.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
+                        max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 LSH band.
 
     Self-join on (band_id, band_sig): docs only meet if a whole band of
-    MinHashes agrees — the candidate set is tiny relative to n²."""
+    MinHashes agrees — the candidate set is tiny relative to n². Buckets
+    larger than ``max_bucket`` are truncated to their first ``max_bucket``
+    members by doc_id (deterministic, oracle-mirrorable via QUALIFY
+    row_number) so one boilerplate cluster cannot emit O(m²) pairs."""
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -86,6 +136,10 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> 
     u = bands[0]
     for x in bands[1:]:
         u = u.unionByName(x)
+    if max_bucket:
+        w = Window.partitionBy("band_id", "band_sig").orderBy("doc_id")
+        u = (u.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= max_bucket).drop("__rn"))
     left = u.alias("l")
     right = u.alias("r")
     return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
@@ -99,21 +153,34 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 8,
                    rows_per_band: int = 2,
                    threshold: float = 0.5,
-                   shingle_n: int = 3) -> DataFrame:
+                   shingle_n: int = 3,
+                   max_bucket: int = DEFAULT_MAX_BUCKET,
+                   dedup_exact_first: bool = True) -> DataFrame:
     """MinHash-LSH near-duplicate detection with exact Jaccard verification.
 
     → (a, b, jaccard) for candidate pairs with Jaccard(n-gram shingle sets)
-    ≥ threshold. The expensive exact verify runs only on LSH collisions."""
+    ≥ threshold. The expensive exact verify runs only on LSH collisions.
+
+    With ``dedup_exact_first`` (default), byte-identical texts are first
+    collapsed to one representative (min doc_id per distinct text) and
+    pairs are emitted between representatives only: exact duplicates are
+    the dominant duplication mode in crawl data and would otherwise flood
+    LSH buckets with m² identical-signature pairs. Exact-duplicate
+    membership itself is ``exact_dedup``'s output."""
     # small-file inputs arrive as one partition — spread the (expensive)
     # shingle transform across cores before anything else
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
+    if dedup_exact_first:
+        reps = (exact_dedup(docs, text_col, id_col)
+                .select(F.col("keep_doc_id").alias(id_col)))
+        docs = docs.join(reps, id_col, "left_semi")
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
     terms.count()  # materialize once; sizes/sigs/verify all re-scan it
     sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cands = (lsh_candidate_pairs(minhash_signatures(terms, k), k,
-                                 rows_per_band).cache())
+                                 rows_per_band, max_bucket).cache())
     cands.count()  # cands feeds both the verify join and the final select
     # exact-verify only LSH-colliding docs: prune term sets to candidate
     # docs first (left_semi), then intersect on the composite (doc, term)
@@ -147,7 +214,7 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     """16-bit SimHash: bit i of a term = high bit of hex nibble i of its md5;
     per doc, bit i of the fingerprint = sign of Σ tf·(±1). → (doc_id, simhash).
     Portable across engines (md5-derived), tf-weighted like the classic
-    Charikar construction."""
+    Charikar construction. Demo-width — ``simhash64`` is the scale form."""
     tf = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(terms_col(F.col(text_col))).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
@@ -163,3 +230,95 @@ def simhash16(docs: DataFrame, text_col: str = "text",
         bit = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else (sim + bit)
     return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit tf-weighted SimHash → (doc_id, sim_hi, sim_lo): two 32-bit
+    halves (BIGINT-safe in any engine — packing bit 63 of a signed 64-bit
+    int is not portable SQL). Term bits come from two independent 32-bit
+    md5-derived hashes (``term_hash32`` offsets 1 and 9); per doc, bit i =
+    sign of Σ tf·(bit_i(term) ? +1 : −1), the Charikar construction.
+
+    One md5 + two base-16 parses per (doc, term); the 64 bit-sums are one
+    hash aggregate with map-side combine — single shuffle on doc_id."""
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(terms_col(F.col(text_col))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    tf = (tf.withColumn("h_lo", term_hash32(F.col("term"), 1))
+          .withColumn("h_hi", term_hash32(F.col("term"), 9)))
+    bit_sums = []
+    for half in ("lo", "hi"):
+        for i in range(32):
+            bit = F.shiftright(F.col(f"h_{half}"), i).bitwiseAND(F.lit(1))
+            bit_sums.append(
+                F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf")))
+                .alias(f"s_{half}_{i}"))
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    packed = {}
+    for half in ("lo", "hi"):
+        acc = None
+        for i in range(32):
+            bit = (F.when(F.col(f"s_{half}_{i}") > 0, F.lit(1 << i))
+                   .otherwise(F.lit(0)))
+            acc = bit if acc is None else (acc + bit)
+        packed[half] = acc.cast("long")
+    return agg.select("doc_id", packed["hi"].alias("sim_hi"),
+                      packed["lo"].alias("sim_lo"))
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """→ (a, b, hamming): doc pairs within ``max_hamming`` bits on the
+    64-bit SimHash, found by band rotation — the 64 bits split into
+    ``max_hamming + 1`` bands, so any pair within the distance shares at
+    least one exact band (pigeonhole); the band equi-join is the only
+    pair-generating step and verification is two xor+bit_counts.
+
+    Scale shape mirrors MinHash-LSH: bucket join on uniform band keys,
+    same ``max_bucket`` truncation for boilerplate clusters."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sims = simhash64(docs, text_col, id_col)
+
+    def band_expr(offset: int):
+        """Bits [offset, offset+width) of the 64-bit hash, read from the
+        two 32-bit halves (a band may straddle them)."""
+        end = offset + width - 1
+        if offset // 32 == end // 32:
+            col = F.col("sim_lo") if offset < 32 else F.col("sim_hi")
+            return (F.shiftright(col, offset % 32)
+                    .bitwiseAND(F.lit((1 << width) - 1)))
+        lo_bits = 32 - offset
+        return (F.shiftright(F.col("sim_lo"), offset)
+                .bitwiseAND(F.lit((1 << lo_bits) - 1))
+                + F.shiftleft(F.col("sim_hi").bitwiseAND(
+                    F.lit((1 << (width - lo_bits)) - 1)), lo_bits))
+
+    full = sims.select(
+        "doc_id", "sim_hi", "sim_lo",
+        *[band_expr(b * width).alias(f"band_{b}") for b in range(n_bands)])
+    bands = None
+    for b in range(n_bands):
+        part = full.select("doc_id", "sim_hi", "sim_lo",
+                           F.lit(b).alias("band_id"),
+                           F.col(f"band_{b}").alias("band_val"))
+        bands = part if bands is None else bands.unionByName(part)
+    if max_bucket:
+        w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+        bands = (bands.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= max_bucket).drop("__rn"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    ham = (F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi")))
+           + F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo"))))
+    return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
+                      & (F.col("l.band_val") == F.col("r.band_val"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"),
+                    ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -73,21 +73,28 @@ def score_expansion(spark,
     """Score all branches of one string query in a single joined plan.
 
     ``expansion_rows``: (branch, query_term, derived_term, rank, weight,
-    term_boost) — tiny, broadcast. ``postings`` must already be
-    tombstone-filtered. Returns one row per (branch, doc) with the per-branch
-    RawResult fields (reference src/results.ts:84-168).
-    ``doc_boost_df``: optional (doc_id, derived_term?, doc_boost) — rows with
-    doc_boost NULL/0 are dropped (falsy ⇒ skip, src/results.ts:123-126).
+    term_boost) rows — tiny, broadcast — OR a DataFrame in EXPANSION_SCHEMA
+    shape (the scale path for wide prefix/fuzzy expansions: joined on term,
+    join strategy left to AQE instead of forcing a broadcast of an
+    unbounded term set). ``postings`` must already be tombstone-filtered.
+    Returns one row per (branch, doc) with the per-branch RawResult fields
+    (reference src/results.ts:84-168).
+    ``doc_boost_df``: optional (doc_id[, derived_term], doc_boost) — rows
+    with doc_boost NULL/0 are dropped (falsy ⇒ skip, src/results.ts:123-126);
+    joined per derived term when the column is present (callable parity
+    path), per doc otherwise (Column fast path).
     """
-    if not expansion_rows:
-        return empty_result(spark)
-
-    exp = spark.createDataFrame(expansion_rows, EXPANSION_SCHEMA)
+    if isinstance(expansion_rows, DataFrame):
+        exp = expansion_rows
+    else:
+        if not expansion_rows:
+            return empty_result(spark)
+        exp = F.broadcast(spark.createDataFrame(expansion_rows,
+                                                EXPANSION_SCHEMA))
 
     m = (postings
          .where(F.col("field_id").isin(list(searched_field_ids)))
-         .join(F.broadcast(exp),
-               postings["term"] == F.col("derived_term"), "inner"))
+         .join(exp, postings["term"] == F.col("derived_term"), "inner"))
 
     # df per (derived term, field): count of live docs in the posting list —
     # matches the reference's post-lazy-cleanup matchingFields (M7).
@@ -110,7 +117,14 @@ def score_expansion(spark,
                 * F.element_at(boost_map, F.col("field_id")) * raw)
 
     if doc_boost_df is not None:
-        m = m.join(F.broadcast(doc_boost_df), ["doc_id", "derived_term"], "inner")
+        if "derived_term" in doc_boost_df.columns:
+            # callable parity path: per-(doc, term) boosts, driver-built
+            m = m.join(F.broadcast(doc_boost_df),
+                       ["doc_id", "derived_term"], "inner")
+        else:
+            # Column fast path: per-doc boost table derived from the row
+            # store — can be corpus-sized, so AQE picks the join strategy
+            m = m.join(doc_boost_df, "doc_id", "inner")
         weighted = weighted * F.col("doc_boost")
 
     scored = m.withColumn("weighted", weighted)

@@ -189,13 +189,21 @@ def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
                   bm25: Mapping[str, float], k_top: int, acc_decoded=None):
     """mapInPandas fn for the global-θ pre-pass over the raw matched lists:
     per term, decode only the highest-impact blocks (by block-max upper
-    bound) until they cover ≥ k docs, emit those docs' exact partial scores.
-    The k-th largest across all terms is a valid global threshold — every
-    partial is a lower bound of its doc's final score (quality ≥ 1)."""
+    bound) until they cover ≥ k docs, emit (doc_id, exact partial score).
+
+    The caller reduces to max(partial) PER DISTINCT DOC before taking the
+    k-th largest: a doc matching several query terms contributes one partial
+    per term, and pooling them without doc identity could place the same doc
+    in the "top k" more than once, inflating θ0 above the true k-th final
+    score (over-pruning). With the per-doc max, the k-th value covers k
+    distinct docs, each of whose final score ≥ its max partial (partials are
+    positive and quality ≥ 1) — a valid lower bound of the true k-th final
+    score."""
 
     def run(iterator):
         for pdf in iterator:
-            out = []
+            out_d: List[np.ndarray] = []
+            out_s: List[np.ndarray] = []
             for _, row in pdf.iterrows():
                 expansions = exp_by_term.get(row["term"])
                 if not expansions:
@@ -217,14 +225,23 @@ def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
                 which = np.sort(np.asarray(take, dtype=np.int64))
                 if acc_decoded is not None:
                     acc_decoded.add(int(which.size))
-                _, t, f = decode_blocks(
+                d, t, f = decode_blocks(
                     row["doc_blob"], row["tf_blob"], row["fl_blob"],
                     d_off, t_off, f_off, bn, which)
                 scores = _score_exact(t, f, idf, wmult, avg_len, bm25)
                 if scores.size > k_top:
-                    scores = np.partition(scores, -k_top)[-k_top:]
-                out.extend(float(x) for x in scores)
-            yield pd.DataFrame({"s": pd.Series(out, dtype="float64")})
+                    keep = np.argpartition(scores, -k_top)[-k_top:]
+                    d, scores = d[keep], scores[keep]
+                out_d.append(d.astype(np.int64))
+                out_s.append(scores)
+            if out_d:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(out_d),
+                    "s": np.concatenate(out_s)})
+            else:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64")})
 
     return run
 
@@ -382,7 +399,12 @@ def wand_topk(posting_lists: DataFrame,
     top = (matched
            .mapInPandas(_theta0_stage(exp_by_term, doc_count, avg_len,
                                       bm25, k_top, acc_decoded),
-                        T.StructType([T.StructField("s", T.DoubleType())]))
+                        T.StructType([T.StructField("doc_id", T.LongType()),
+                                      T.StructField("s", T.DoubleType())]))
+           # max partial per DISTINCT doc before the k-th largest — see
+           # _theta0_stage: pooling partials without doc identity would let
+           # one doc fill several of the top-k slots and over-prune
+           .groupBy("doc_id").agg(F.max("s").alias("s"))
            .orderBy(F.desc("s")).limit(k_top).collect())
     if len(top) >= k_top:
         theta0 = float(top[-1]["s"])

@@ -50,8 +50,17 @@ def save_index(index: SparkSearchIndex, path: str,
     """Write all index tables + manifest; returns the manifest."""
     os.makedirs(path, exist_ok=True)
     layout = layout or IndexLayout()
-    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
-    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    # save compacts: every table is written through the live (tombstone-
+    # filtered) view, so a load never resurrects discarded docs — the
+    # parquet directory IS the persisted tombstone state (manifest
+    # dirt_count 0 by construction). Round-2 fix: docs/doc_stats were
+    # previously written raw, so discarded docs reappeared after load.
+    index.live_docs().write.mode("overwrite").parquet(f"{path}/docs")
+    live_tomb = index._all_tombstones()
+    live_stats = index.doc_stats
+    if live_tomb is not None:
+        live_stats = live_stats.join(live_tomb, "doc_id", "left_anti")
+    live_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     live = index.live_postings()
     (live
      .withColumn("bucket",
@@ -123,15 +132,30 @@ def load_index(spark: SparkSession, path: str,
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
     index._n_term_buckets = manifest.get("lineage", {}).get("n_term_buckets")
-    if os.path.exists(f"{path}/terms"):
-        index._term_dict = spark.read.parquet(f"{path}/terms")
-    if os.path.exists(f"{path}/posting_lists"):
+    # probe optional tables via spark.read, not os.path.exists: the index
+    # directory may live on S3/HDFS where local-FS checks always fail and
+    # would silently drop the term dictionary / compacted WAND lists
+    terms = _try_read_parquet(spark, f"{path}/terms")
+    if terms is not None:
+        index._term_dict = terms
+    lists = _try_read_parquet(spark, f"{path}/posting_lists")
+    if lists is not None:
         # serve the saved compacted lists (WAND path) without recompacting
-        index._posting_lists = spark.read.parquet(f"{path}/posting_lists")
+        index._posting_lists = lists
         index._posting_lists_layout = IndexLayout(
             block_doc_range=manifest.get("lineage", {}).get(
                 "block_doc_range", IndexLayout().block_doc_range))
     return index
+
+
+def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """spark.read.parquet(path) or None if absent — filesystem-agnostic
+    existence probe (works wherever Spark's Hadoop FS layer can read)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 # ------------------------------------------------------------- resumable

@@ -32,11 +32,64 @@ def test_exact_dedup(docs):
 
 
 def test_near_dup_shingles(docs):
+    # default: exact dups pre-grouped — doc 1 (byte-identical to 0) is
+    # represented by doc 0 and the (0,1) pair is exact_dedup's business
     pairs = {(r["a"], r["b"]): r["jaccard"]
              for r in dd.near_dup_pairs(docs, threshold=0.3).collect()}
-    assert pairs[(0, 1)] == 1.0          # identical
+    assert (0, 1) not in pairs
     assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
     assert not any(3 in p or 4 in p for p in pairs)
+    # opting out restores all-pairs semantics, identical texts included
+    raw = {(r["a"], r["b"]): r["jaccard"]
+           for r in dd.near_dup_pairs(docs, threshold=0.3,
+                                      dedup_exact_first=False).collect()}
+    assert raw[(0, 1)] == 1.0
+    assert raw[(0, 2)] == pairs[(0, 2)]
+
+
+def test_lsh_bucket_cap(spark):
+    """A mass-duplicated template bucket is truncated to its first
+    max_bucket members by doc_id — pair fan-out is bounded at m·(m-1)/2
+    with m = cap instead of the full bucket size."""
+    rows = [(i, "aaa bbb ccc ddd eee fff" if i % 2 == 0
+             else "ggg hhh iii jjj kkk lll")
+            for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(dd.doc_shingles(d, n=3))
+    capped = dd.lsh_candidate_pairs(sigs, max_bucket=5).collect()
+    uncapped = dd.lsh_candidate_pairs(sigs, max_bucket=0).collect()
+    # two variants → two buckets of 20 each: 2 * C(20,2) = 380 uncapped,
+    # 2 * C(5,2) = 20 capped (first five ids of each variant)
+    assert len(uncapped) == 380
+    assert len(capped) == 20
+    assert max(max(r["a"], r["b"]) for r in capped) <= 9
+
+
+def test_simhash64_properties(docs):
+    sh = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+          for r in dd.simhash64(docs).collect()}
+    assert sh[0] == sh[1]                 # identical docs → identical hash
+    ham = lambda x, y: (bin(x[0] ^ y[0]).count("1")
+                        + bin(x[1] ^ y[1]).count("1"))
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+    assert all(0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+               for hi, lo in sh.values())
+
+
+def test_simhash_near_dup_pairs(docs):
+    """Band rotation finds every pair within the Hamming budget: identical
+    docs (distance 0) always; the hand-built near-dup iff within budget."""
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dd.simhash_near_dup(docs, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0
+    sh = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+          for r in dd.simhash64(docs).collect()}
+    d02 = (bin(sh[0][0] ^ sh[2][0]).count("1")
+           + bin(sh[0][1] ^ sh[2][1]).count("1"))
+    assert ((0, 2) in got) == (d02 <= 3)
+    wide = {(r["a"], r["b"]): r["hamming"]
+            for r in dd.simhash_near_dup(docs, max_hamming=d02).collect()}
+    assert wide[(0, 2)] == d02            # pigeonhole guarantee at budget
 
 
 def test_simhash_properties(docs):

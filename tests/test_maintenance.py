@@ -87,6 +87,118 @@ def test_get_default_value():
         get_default_value("nope")
 
 
+def _paths(corpus, n):
+    return [r["path"] for r in
+            corpus.select("path").orderBy("path").limit(n).collect()]
+
+
+def test_auto_vacuum_triggers(spark, corpus):
+    """Reference maybeAutoVacuum semantics (src/vacuum.ts:15-21, defaults
+    minDirtCount=20 / minDirtFactor=0.1, exercised by discard.spec.ts):
+    below either threshold the tombstones stay; once both are reached the
+    discard itself compacts."""
+    idx = _build(corpus)  # auto_vacuum defaults to True
+    idx.discard_many(_paths(corpus, 19))
+    assert idx.dirt_count == 19 and idx.has_tombstones()  # 19 < minDirtCount
+    idx.discard(_paths(corpus, 20)[19])  # 20th discard: factor 20/121 > 0.1
+    assert idx.dirt_count == 0 and not idx.has_tombstones()
+    assert idx.postings.count() == idx.live_postings().count()
+
+    # custom thresholds via dict
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      auto_vacuum={"minDirtCount": 5, "minDirtFactor": 0.0})
+    idx2 = SparkSearchIndex.build(corpus, cfg, order_cols=["repo", "path"])
+    idx2.discard_many(_paths(corpus, 5))
+    assert idx2.dirt_count == 0 and not idx2.has_tombstones()
+
+    # disabled: tombstones accumulate until a manual vacuum
+    cfg3 = IndexConfig(fields=["content"], id_field="path",
+                       auto_vacuum=False)
+    idx3 = SparkSearchIndex.build(corpus, cfg3, order_cols=["repo", "path"])
+    idx3.discard_many(_paths(corpus, 30))
+    assert idx3.dirt_count == 30 and idx3.has_tombstones()
+    idx3.vacuum()
+    assert not idx3.has_tombstones()
+
+
+def test_discard_where_distributed(spark, corpus):
+    """Mass tombstone by predicate: no doc_id list ever reaches the driver;
+    search results equal the same discard done via the driver list."""
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      store_fields=["repo", "lang"], auto_vacuum=False)
+    a = SparkSearchIndex.build(corpus, cfg, order_cols=["repo", "path"])
+    b = SparkSearchIndex.build(corpus, cfg, order_cols=["repo", "path"])
+    victims = [r["path"] for r in
+               corpus.where(F.col("lang") == "py").select("path").collect()]
+    n = a.discard_where(F.col("lang") == "py")
+    b.discard_many(victims)
+    assert n == len(victims) > 0
+    assert not a.tombstones and a._tombstone_df is not None  # stays a table
+    assert a.doc_count == b.doc_count
+    assert a.avg_field_length[0] == pytest.approx(b.avg_field_length[0],
+                                                  rel=1e-12)
+    for q in ["the parse", "varint merge"]:
+        got = [(r["id"], round(r["score"], 9)) for r in a.search(q)]
+        want = [(r["id"], round(r["score"], 9)) for r in b.search(q)]
+        assert got == want, q
+    # second predicate discard unions into the table without double counting
+    assert a.discard_where(F.col("lang") == "py") == 0
+    a.vacuum()
+    assert a._tombstone_df is None
+    assert a.docs.count() == a.doc_count
+
+
+def test_save_load_preserves_discards(spark, corpus, tmp_path):
+    """Round-2 fix: save writes every table through the live view, so a
+    loaded index never resurrects discarded docs (docs/doc_stats were
+    previously written raw)."""
+    from slimsearch_spark.sources.index_store import load_index, save_index
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      store_fields=["repo"], auto_vacuum=False)
+    idx = SparkSearchIndex.build(corpus, cfg, order_cols=["repo", "path"])
+    victims = _paths(corpus, 7)
+    idx.discard_many(victims)
+    path = str(tmp_path / "didx")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == idx.doc_count
+    assert loaded.docs.count() == idx.doc_count
+    assert not loaded.has(victims[0])
+    from slimsearch_spark.config import WILDCARD
+    assert loaded.search_df(WILDCARD).count() == idx.doc_count
+    want = [(r["id"], round(r["score"], 9)) for r in idx.search("the parse")]
+    got = [(r["id"], round(r["score"], 9))
+           for r in loaded.search("the parse")]
+    assert got == want
+
+
+def test_add_all_rejects_in_batch_duplicates(spark, corpus):
+    idx = _build(corpus)
+    extra = corpus.limit(0)
+    row = {"repo": "r", "path": "dup/x.py", "commit": "c", "lang": "py",
+           "content": "alpha beta"}
+    dup_batch = corpus.sparkSession.createDataFrame([row, row])
+    with pytest.raises(ValueError, match="within"):
+        idx.add_all(dup_batch)
+    del extra
+
+
+def test_logger_option_routes_warnings(spark, corpus):
+    """Reference logger option (src/defaults.ts:22): a configured logger
+    receives warnings instead of the warnings module."""
+    seen = []
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      logger=lambda level, msg: seen.append((level, msg)))
+    idx = SparkSearchIndex.build(corpus, cfg, order_cols=["repo", "path"])
+    victim = corpus.orderBy("path").first().asDict()
+    victim["content"] = victim["content"] + " extra token"
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # would raise if warnings.warn ran
+        idx.remove(victim)
+    assert seen and seen[0][0] == "warn" and "version_conflict" in seen[0][1]
+
+
 def test_index_level_search_options(spark, corpus):
     """createIndex({searchOptions}) cascade: options set at index build are
     the search defaults, per-query options override (reference

@@ -97,8 +97,22 @@ def _full_topk(index, query, k, **opts):
 
 
 def _wand_topk(index, query, k, **kw):
+    # adaptive_min_docs=0: these tests exercise the real pruned path at
+    # sizes where the production default would (correctly) skip to the
+    # exact plan — the skip itself is covered by test_wand_adaptive_skip
+    kw.setdefault("adaptive_min_docs", 0)
     return [(r["doc_id"], round(r["score"], 9)) for r in
             index.search_topk_wand(query, k, **kw).collect()]
+
+
+def test_wand_adaptive_skip(index):
+    """Below the measured crossover the default delegates to the exact
+    single-plan top-k — result-identical, no compaction stage run."""
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           index.search_topk_wand("varint delta merge", 10).collect()]
+    assert got == _full_topk(index, "varint delta merge", 10)
+    forced = _wand_topk(index, "varint delta merge", 10)
+    assert got == forced
 
 
 def test_wand_equals_full_sort_prefix(index):
@@ -141,7 +155,7 @@ def test_wand_rejects_tombstoned_index(spark):
     with pytest.raises(ValueError, match="vacuum"):
         idx.search_topk_wand("the", 5)
     idx.vacuum()
-    got = idx.search_topk_wand("the", 5).collect()
+    got = idx.search_topk_wand("the", 5, adaptive_min_docs=0).collect()
     want = idx.search_df("the", top_k=5).select("doc_id", "score").collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
         [(r["doc_id"], round(r["score"], 9)) for r in want]
@@ -172,6 +186,52 @@ def test_wand_physically_skips_blocks(spark):
     # global θ0 from the top-impact block prunes every filler block: only
     # the blocks holding the tf=50 docs (plus the θ0 probe) decode
     assert decoded <= total // 4, (decoded, total)
+
+
+def test_wand_theta0_counts_distinct_docs(spark):
+    """Regression (round-2 ADVICE): the θ0 pre-pass must reduce partials to
+    one value per DISTINCT doc before taking the k-th largest. A few docs
+    matching every query term contribute one high partial per term; pooling
+    those without doc identity made θ0 the k-th *partial* (covering < k
+    docs), pruning single-term docs that belong in the true top-k."""
+    multi = [("r", f"m/{i}.py", "c", "py", " ".join(["aa bb cc"] * 10))
+             for i in range(5)]
+    singles = [("r", f"s/{i:02d}.py", "c", "py",
+                "aa " + " ".join(f"junk{i}x{j}" for j in range(8)))
+               for i in range(20)]
+    docs = spark.createDataFrame(multi + singles,
+                                 "repo string, path string, commit string, "
+                                 "lang string, content string")
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    layout = IndexLayout(block_doc_range=4)
+    # k=10 > the 5 all-term docs: the tail of the true top-10 is single-term
+    # docs whose final score is far below the pooled multi-doc partials
+    assert _wand_topk(idx, "aa bb cc", 10, layout=layout) == \
+        _full_topk(idx, "aa bb cc", 10)
+    assert len(_wand_topk(idx, "aa bb cc", 10, layout=layout)) == 10
+
+
+def test_wand_rejects_unsupported_options(spark, index):
+    """search_topk_wand raises on multi-field / non-OR / filter /
+    boostDocument instead of silently mis-scoring (round-2 ADVICE)."""
+    docs = synth_corpus(spark, 30, tokens_per_file=20)
+    cfg2 = IndexConfig(fields=["content", "lang"], id_field="path")
+    idx2 = SparkSearchIndex.build(docs, cfg2, order_cols=["repo", "path"])
+    with pytest.raises(ValueError, match="single field"):
+        idx2.search_topk_wand("the", 5)
+    # explicit single field is accepted on the multi-field index
+    got = idx2.search_topk_wand("the", 5, fields=["content"],
+                                adaptive_min_docs=0).collect()
+    want = (idx2.search_df("the", top_k=5, fields=["content"])
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    with pytest.raises(ValueError, match="combineWith"):
+        index.search_topk_wand("the", 5, combineWith="AND")
+    with pytest.raises(ValueError, match="filter"):
+        index.search_topk_wand("the", 5, filter=F.lit(True))
+    with pytest.raises(ValueError, match="boostDocument"):
+        index.search_topk_wand("the", 5, boostDocument=lambda *a: 1.0)
 
 
 def test_wand_cache_invalidated_on_mutation(spark):
