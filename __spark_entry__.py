@@ -364,6 +364,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, q, k=10, n_planes=8, seed=42, exclude_id=0)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Sign-LSH ANN with multi-probe (Hamming ≤ 2 buckets) — the recall
+    lever over the single-bucket probe, same exact cosine re-rank."""
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return sim.lsh_topk(emb, q, k=10, n_planes=8, seed=42, exclude_id=0,
+                        hamming=2)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded sign-LSH (16 planes,
+    4 bands) + exact cosine verify ≥ 0.4 — never all-pairs."""
+    return sim.embedding_near_dup(_embeddings(spark, sf_dir), threshold=0.4,
+                                  n_planes=16, n_bands=4, seed=42)
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata."""
     return (_docs(spark, sf_dir)
@@ -423,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "embedding_near_dup": q_embedding_near_dup,
         "binary_meta": q_binary_meta,
         "sha256_invariant": q_sha256_invariant,
     }
@@ -1139,6 +1158,57 @@ ORDER BY list_dot_product(b.v, q.qv) /
          (sqrt(list_dot_product(b.v, b.v)) *
           sqrt(list_dot_product(q.qv, q.qv))) DESC, b.vec_id
 LIMIT 10"""
+
+    # multi-probe: same 8 hyperplanes, buckets within Hamming ≤ 2
+    sql["ann_lsh_multiprobe"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM b CROSS JOIN q
+WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 2 AND b.vec_id <> 0
+ORDER BY list_dot_product(b.v, q.qv) /
+         (sqrt(list_dot_product(b.v, b.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, b.vec_id
+LIMIT 10"""
+
+    # embedding near-dup: 16 deterministic hyperplanes, 4 bands of 4 bits,
+    # QUALIFY bucket cap, exact-cosine verify ≥ 0.4 on banded candidates
+    planes16 = sim.hyperplanes(64, 16, 42)
+    plane16_lits = ["[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+                    for h in planes16]
+    bucket16 = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane16_lits[j]}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16))
+    band16 = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band_id, "
+        f"(bucket >> {b * 4}) & 15 AS band_val FROM eb"
+        for b in range(4))
+    sql["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {bucket16} AS bucket FROM e),
+bands AS (
+{band16}
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_val
+                             ORDER BY vec_id) <= 1024
+)
+SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.v, r.v) /
+             (sqrt(list_dot_product(l.v, l.v)) *
+              sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+FROM capped l JOIN capped r
+  ON l.band_id = r.band_id AND l.band_val = r.band_val
+ AND l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.v, r.v) /
+            (sqrt(list_dot_product(l.v, l.v)) *
+             sqrt(list_dot_product(r.v, r.v))), 6) >= 0.4"""
 
     sql["binary_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,

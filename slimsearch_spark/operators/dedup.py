@@ -127,15 +127,19 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
     members by doc_id (deterministic, oracle-mirrorable via QUALIFY
     row_number) so one boilerplate cluster cannot emit O(m²) pairs."""
     n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(sigs.select(
-            "doc_id", F.lit(b).alias("band_id"),
-            F.concat_ws("|", *cols).alias("band_sig")))
-    u = bands[0]
-    for x in bands[1:]:
-        u = u.unionByName(x)
+    # melt to (doc_id, band_id, band_sig) with ONE explode, not a per-band
+    # filter+union — union branches clone the signature-aggregation subtree
+    # and the plan would compute the MinHash agg n_bands times
+    melt = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[f"sig_{b * rows_per_band + r}"
+                               for r in range(rows_per_band)])
+            .alias("band_sig"))
+        for b in range(n_bands)])
+    u = (sigs.select("doc_id", F.explode(melt).alias("b"))
+         .select("doc_id", F.col("b.band_id").alias("band_id"),
+                 F.col("b.band_sig").alias("band_sig")))
     if max_bucket:
         w = Window.partitionBy("band_id", "band_sig").orderBy("doc_id")
         u = (u.withColumn("__rn", F.row_number().over(w))
@@ -179,8 +183,11 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
     terms.count()  # materialize once; sizes/sigs/verify all re-scan it
     sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cands = (lsh_candidate_pairs(minhash_signatures(terms, k), k,
-                                 rows_per_band, max_bucket).cache())
+    # cache the per-doc signatures: the LSH self-join references them on
+    # both sides and would otherwise run the MinHash aggregation twice
+    sigs = minhash_signatures(terms, k).cache()
+    cands = (lsh_candidate_pairs(sigs, k, rows_per_band, max_bucket)
+             .cache())
     cands.count()  # cands feeds both the verify join and the final select
     # exact-verify only LSH-colliding docs: prune term sets to candidate
     # docs first (left_semi), then intersect on the composite (doc, term)
@@ -241,30 +248,38 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     sign of Σ tf·(bit_i(term) ? +1 : −1), the Charikar construction.
 
     One md5 + two base-16 parses per (doc, term); the 64 bit-sums are one
-    hash aggregate with map-side combine — single shuffle on doc_id."""
+    hash aggregate with map-side combine — single shuffle on doc_id. The
+    whole 64-column pipeline is ONE spark.sql parse (DataFrame parameter):
+    building it from per-column Column ops / F.expr calls cost 2-3.5 s of
+    pure driver time per query in py4j round-trips and SQL parses."""
     tf = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(terms_col(F.col(text_col))).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    tf = (tf.withColumn("h_lo", term_hash32(F.col("term"), 1))
-          .withColumn("h_hi", term_hash32(F.col("term"), 9)))
-    bit_sums = []
-    for half in ("lo", "hi"):
-        for i in range(32):
-            bit = F.shiftright(F.col(f"h_{half}"), i).bitwiseAND(F.lit(1))
-            bit_sums.append(
-                F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf")))
-                .alias(f"s_{half}_{i}"))
-    agg = tf.groupBy("doc_id").agg(*bit_sums)
-    packed = {}
-    for half in ("lo", "hi"):
-        acc = None
-        for i in range(32):
-            bit = (F.when(F.col(f"s_{half}_{i}") > 0, F.lit(1 << i))
-                   .otherwise(F.lit(0)))
-            acc = bit if acc is None else (acc + bit)
-        packed[half] = acc.cast("long")
-    return agg.select("doc_id", packed["hi"].alias("sim_hi"),
-                      packed["lo"].alias("sim_lo"))
+    bit_sums = ",\n".join(
+        f"  sum(CASE WHEN (h_{half} >> {i}) & 1 = 1 THEN tf ELSE -tf END)"
+        f" AS s_{half}_{i}"
+        for half in ("lo", "hi") for i in range(32))
+    packs = {
+        half: " + ".join(
+            f"(CASE WHEN s_{half}_{i} > 0 THEN {1 << i}L ELSE 0L END)"
+            for i in range(32))
+        for half in ("lo", "hi")}
+    q = f"""
+SELECT doc_id,
+       CAST({packs['hi']} AS BIGINT) AS sim_hi,
+       CAST({packs['lo']} AS BIGINT) AS sim_lo
+FROM (
+  SELECT doc_id,
+{bit_sums}
+  FROM (
+    SELECT doc_id, tf,
+           CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) AS h_lo,
+           CAST(conv(substring(md5(term), 9, 8), 16, 10) AS BIGINT) AS h_hi
+    FROM {{tf}}
+  )
+  GROUP BY doc_id
+)"""
+    return docs.sparkSession.sql(q, tf=tf)
 
 
 def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
@@ -281,7 +296,9 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
     same ``max_bucket`` truncation for boilerplate clusters."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sims = simhash64(docs, text_col, id_col)
+    # cache the tiny per-doc fingerprint table: the band melt + self-join
+    # reference it repeatedly and must not re-run the 64-bit aggregation
+    sims = simhash64(docs, text_col, id_col).cache()
 
     def band_expr(offset: int):
         """Bits [offset, offset+width) of the 64-bit hash, read from the
@@ -297,15 +314,16 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
                 + F.shiftleft(F.col("sim_hi").bitwiseAND(
                     F.lit((1 << (width - lo_bits)) - 1)), lo_bits))
 
-    full = sims.select(
-        "doc_id", "sim_hi", "sim_lo",
-        *[band_expr(b * width).alias(f"band_{b}") for b in range(n_bands)])
-    bands = None
-    for b in range(n_bands):
-        part = full.select("doc_id", "sim_hi", "sim_lo",
-                           F.lit(b).alias("band_id"),
-                           F.col(f"band_{b}").alias("band_val"))
-        bands = part if bands is None else bands.unionByName(part)
+    # melt with one explode (no per-band union — see lsh_candidate_pairs)
+    melt = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 band_expr(b * width).alias("band_val"))
+        for b in range(n_bands)])
+    bands = (sims.select("doc_id", "sim_hi", "sim_lo",
+                         F.explode(melt).alias("b"))
+             .select("doc_id", "sim_hi", "sim_lo",
+                     F.col("b.band_id").alias("band_id"),
+                     F.col("b.band_val").alias("band_val")))
     if max_bucket:
         w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
         bands = (bands.withColumn("__rn", F.row_number().over(w))

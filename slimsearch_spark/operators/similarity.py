@@ -64,10 +64,15 @@ def lsh_bucket_col(vec_col, planes: List[List[float]]):
 def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
              n_planes: int = 8, seed: int = 42,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             exclude_id=None) -> DataFrame:
+             exclude_id=None, hamming: int = 0) -> DataFrame:
     """ANN: restrict to the query's sign-LSH bucket, exact cosine re-rank.
     → (vec_id, cosine). Recall trades off with n_planes; the bucket
-    predicate prunes the scan before any arithmetic."""
+    predicate prunes the scan before any cosine arithmetic.
+
+    ``hamming > 0`` = multi-probe: also score buckets whose sign pattern
+    differs from the query's in ≤ hamming planes — the standard recall
+    lever (each flipped plane admits vectors just across one boundary)
+    without re-hashing. hamming=0 is the single-bucket fast path."""
     planes = hyperplanes(len(query), n_planes, seed)
     qnp = np.asarray(query, dtype=float)
     qbucket = 0
@@ -75,11 +80,62 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
         if float(np.dot(qnp, np.asarray(h))) >= 0:
             qbucket |= 1 << j
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = lsh_bucket_col(F.col("__v"), planes)
+    probe = (bucket == qbucket if hamming == 0 else
+             F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= hamming)
     out = (embeddings
            .select(F.col(id_col).alias("vec_id"), v.alias("__v"))
-           .where(lsh_bucket_col(F.col("__v"), planes) == qbucket)
+           .where(probe)
            .select("vec_id",
                    F.round(cosine_col(F.col("__v"), query), 6).alias("cosine")))
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
+                       n_planes: int = 16, n_bands: int = 4, seed: int = 42,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       dim: int = None, max_bucket: int = 1024) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (a, b, cosine ≥ threshold).
+
+    Scale shape mirrors MinHash-LSH: the sign-LSH bucket splits into
+    ``n_bands`` bands; candidate pairs share ≥1 exact band (equi-join on
+    (band_id, band_val), melt via one explode — no per-band union), buckets
+    are capped, and the exact cosine verify runs only on candidates.
+    Recall is the banded-LSH probability 1-(1-(1-θ/π)^w)^b — raise
+    n_planes/n_bands for tighter thresholds. Never all-pairs."""
+    if dim is None:
+        dim = embeddings.select(
+            F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // n_bands
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+    e = e.withColumn("__bucket", lsh_bucket_col(F.col("__v"), planes))
+    melt = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.shiftright(F.col("__bucket"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"))
+        for b in range(n_bands)])
+    bands = (e.select("vec_id", "__v", F.explode(melt).alias("b"))
+             .select("vec_id", "__v",
+                     F.col("b.band_id").alias("band_id"),
+                     F.col("b.band_val").alias("band_val")))
+    if max_bucket:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_id", "band_val").orderBy("vec_id")
+        bands = (bands.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= max_bucket).drop("__rn"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cos = (_dot(F.col("l.__v"), F.col("r.__v"))
+           / (_norm(F.col("l.__v")) * _norm(F.col("r.__v"))))
+    return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
+                      & (F.col("l.band_val") == F.col("r.band_val"))
+                      & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("a"),
+                    F.col("r.vec_id").alias("b"),
+                    F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .distinct())

@@ -152,6 +152,46 @@ def test_brute_force_topk(vectors):
     assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
 
 
+def test_lsh_multiprobe_recall(vectors):
+    """Multi-probe (Hamming ≤ h buckets) finds at least everything the
+    single bucket finds, with exact cosines, approaching brute force as h
+    grows."""
+    q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"]: r["cosine"] for r in
+             sim.brute_force_topk(vectors, q, k=29, exclude_id=0).collect()}
+    single = {r["vec_id"] for r in
+              sim.lsh_topk(vectors, q, k=29, n_planes=4,
+                           exclude_id=0).collect()}
+    probed = {r["vec_id"] for r in
+              sim.lsh_topk(vectors, q, k=29, n_planes=4, exclude_id=0,
+                           hamming=1).collect()}
+    wide = {r["vec_id"] for r in
+            sim.lsh_topk(vectors, q, k=29, n_planes=4, exclude_id=0,
+                         hamming=4).collect()}
+    assert single <= probed <= wide
+    assert wide == set(exact)  # hamming = n_planes probes every bucket
+    for r in sim.lsh_topk(vectors, q, k=5, n_planes=4, exclude_id=0,
+                          hamming=1).collect():
+        assert exact[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_embedding_near_dup(vectors):
+    """Banded sign-LSH near-dup: every reported pair's cosine is exact and
+    ≥ threshold; the near-identical pair (0,1) is always found (all sign
+    bits agree); nothing is all-pairs-scanned (candidates only)."""
+    out = {(r["a"], r["b"]): r["cosine"] for r in
+           sim.embedding_near_dup(vectors, threshold=0.9,
+                                  n_planes=16, n_bands=4).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    q = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    import numpy as np
+    for (a, b), c in out.items():
+        va, vb = np.array(q[a]), np.array(q[b])
+        true = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert c == pytest.approx(round(true, 6), abs=1e-6)
+        assert c >= 0.9
+
+
 def test_lsh_topk_subset_of_bucket(vectors):
     q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     exact = {r["vec_id"]: r["cosine"] for r in
