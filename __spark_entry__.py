@@ -374,11 +374,39 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
                         hamming=2)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: seeded coarse quantizer (first 16 vectors), probe the 2
+    cells nearest the query, exact cosine re-rank. Assignment is one
+    codegen'd argmin expression; probed cells prune before arithmetic."""
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    seeds = sim.seed_centroids(emb, 16)
+    return sim.ivf_topk(emb, q, k=10, centroids=seeds, n_probe=2,
+                        exclude_id=0)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded sign-LSH (16 planes,
     4 bands) + exact cosine verify ≥ 0.4 — never all-pairs."""
     return sim.embedding_near_dup(_embeddings(spark, sf_dir), threshold=0.4,
                                   n_planes=16, n_bands=4, seed=42)
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window counts per event type (batch twin of the
+    streaming watermark+window path)."""
+    from slimsearch_spark.operators import events as ev
+    return ev.windowed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "1 hour")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — batch twin of the
+    applyInPandasWithState stateful streaming operator."""
+    from slimsearch_spark.operators import events as ev
+    return ev.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30.0)
 
 
 def q_binary_meta(spark, sf_dir):
@@ -441,7 +469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
         "binary_meta": q_binary_meta,
         "sha256_invariant": q_sha256_invariant,
     }
@@ -1175,6 +1206,39 @@ ORDER BY list_dot_product(b.v, q.qv) /
           sqrt(list_dot_product(q.qv, q.qv))) DESC, b.vec_id
 LIMIT 10"""
 
+    # seeded IVF: centroids = first 16 vectors (pure-SQL join), assignment
+    # and probe use the IDENTICAL left-fold squared distance as the Spark
+    # expression (verified bit-identical cross-engine)
+    fold = ("list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(list_zip(e.v, s.cv), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)")
+    sql["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+dist AS (
+  SELECT e.vec_id, s.cid, {fold} AS d
+  FROM e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+qprobe AS (SELECT cid FROM dist WHERE vec_id = 0 ORDER BY d, cid LIMIT 2),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM e JOIN assign a USING (vec_id) CROSS JOIN q
+WHERE a.cid IN (SELECT cid FROM qprobe) AND e.vec_id <> 0
+ORDER BY list_dot_product(e.v, q.qv) /
+         (sqrt(list_dot_product(e.v, e.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+LIMIT 10"""
+
     # embedding near-dup: 16 deterministic hyperplanes, 4 bands of 4 bits,
     # QUALIFY bucket cap, exact-cosine verify ≥ 0.4 on banded candidates
     planes16 = sim.hyperplanes(64, 16, 42)
@@ -1209,6 +1273,35 @@ FROM capped l JOIN capped r
 WHERE round(list_dot_product(l.v, r.v) /
             (sqrt(list_dot_product(l.v, l.v)) *
              sqrt(list_dot_product(r.v, r.v))), 6) >= 0.4"""
+
+    sql["events_windowed"] = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+       event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    sql["sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sess AS (
+  SELECT *,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1)::INT AS session_id
+  FROM tagged
+)
+SELECT user_id, session_id,
+       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2"""
 
     sql["binary_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,

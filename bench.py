@@ -65,7 +65,9 @@ def main() -> None:
         "dedup_exact", "near_dup_minhash", "simhash", "simhash64",
         "simhash_near_dup", "lang_id",
         "text_quality", "token_counts", "fingerprint",
-        "ann_cosine_topk", "ann_lsh_topk",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
+        "ann_ivf_topk", "embedding_near_dup",
+        "events_windowed", "sessionize",
     ]
     qs = E.queries()
     for name in bench_queries:

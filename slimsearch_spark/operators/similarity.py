@@ -9,7 +9,7 @@ prunes the scan to one bucket before scoring.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -88,6 +88,97 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
            .where(probe)
            .select("vec_id",
                    F.round(cosine_col(F.col("__v"), query), 6).alias("cosine")))
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  sample: int = 2048, iters: int = 5,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> List[List[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd k-means in numpy over a
+    deterministic sample (first ``sample`` vectors by id). The centroid
+    table is tiny and driver-held by design — it is broadcast as literals
+    into the assignment expression, and the identical literals feed the
+    DuckDB oracle. At 100 TB the sample stays a bounded limit() collect."""
+    rows = (embeddings.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())
+    X = np.asarray([list(r[0]) for r in rows], dtype=float)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(n_centroids):
+            members = X[a == c]
+            if len(members):
+                C[c] = members.mean(0)
+    return C.tolist()
+
+
+def seed_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> List[List[float]]:
+    """IVF-flat seed centroids: the first ``n_centroids`` vectors by id —
+    the classic sampled-init quantizer, and (unlike k-means) expressible
+    as a pure-SQL join, so the DuckDB oracle can reproduce the assignment
+    without centroid literals baked into a static query."""
+    rows = (embeddings.orderBy(id_col).limit(n_centroids)
+            .select(vec_col).collect())
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _sq_dist_sql(vec: str, centroid: Sequence[float]) -> str:
+    """Σ(v_i − c_i)² as a left-fold SQL expression — the same elementwise
+    formula and summation order the oracle uses, so assignments match
+    bit-for-bit across engines."""
+    lits = ", ".join(repr(float(x)) + "D" for x in centroid)
+    return (f"aggregate(zip_with({vec}, array({lits}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+
+
+def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
+             centroids: Optional[List[List[float]]] = None,
+             n_centroids: int = 16, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             exclude_id=None) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid (argmin
+    of squared distance, first-index tiebreak), probe the ``n_probe``
+    centroids nearest to the query, exact cosine re-rank inside the probed
+    cells. → (vec_id, cosine).
+
+    The assignment is one whole-stage-codegen expression (a single
+    F.expr — no per-centroid py4j Columns); the probed-cell predicate
+    prunes the scan before any cosine arithmetic, and in a saved layout
+    the assignment can be a partition column for true partition pruning."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids,
+                                  vec_col=vec_col, id_col=id_col)
+
+    def fold_dist(a, b):
+        # strict left fold of (x−y)² — the exact IEEE op sequence the
+        # assignment expression (and the SQL oracle) uses, so probe
+        # selection can never disagree with cell assignment on ties
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (float(x) - float(y)) * (float(x) - float(y))
+        return d
+
+    qd = [fold_dist(query, c) for c in centroids]
+    probes = sorted(i for _, i in
+                    sorted((d, i) for i, d in enumerate(qd))[:n_probe])
+
+    dists = ", ".join(_sq_dist_sql("__v", c) for c in centroids)
+    assign = (f"array_position(array({dists}), "
+              f"array_min(array({dists}))) - 1")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = (embeddings
+           .select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+           .withColumn("__cell", F.expr(assign).cast("int"))
+           .where(F.col("__cell").isin(probes))
+           .select("vec_id",
+                   F.round(cosine_col(F.col("__v"), query), 6)
+                   .alias("cosine")))
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -192,6 +192,38 @@ def test_embedding_near_dup(vectors):
         assert c >= 0.9
 
 
+def test_ivf_topk(vectors):
+    """IVF with n_probe = n_centroids probes every cell and must equal
+    brute force; fewer probes give a subset with exact cosines, and the
+    near-identical vector shares the query's cell so it is always found."""
+    q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    seeds = sim.seed_centroids(vectors, 4)
+    exact = {(r["vec_id"], r["cosine"]) for r in
+             sim.brute_force_topk(vectors, q, k=29, exclude_id=0).collect()}
+    full = {(r["vec_id"], r["cosine"]) for r in
+            sim.ivf_topk(vectors, q, k=29, centroids=seeds, n_probe=4,
+                         exclude_id=0).collect()}
+    assert full == exact
+    one = {(r["vec_id"], r["cosine"]) for r in
+           sim.ivf_topk(vectors, q, k=29, centroids=seeds, n_probe=1,
+                        exclude_id=0).collect()}
+    assert one and one <= exact
+    # vec 1 ≈ the query but is itself seed centroid 1, so probing the two
+    # nearest cells (query's own cell 0 + its twin's cell 1) finds it
+    two = {r["vec_id"] for r in
+           sim.ivf_topk(vectors, q, k=29, centroids=seeds, n_probe=2,
+                        exclude_id=0).collect()}
+    assert 1 in two
+    # k-means centroids are deterministic and also recall-complete at
+    # full probe width
+    km = sim.ivf_centroids(vectors, 4)
+    assert km == sim.ivf_centroids(vectors, 4)
+    full_km = {(r["vec_id"], r["cosine"]) for r in
+               sim.ivf_topk(vectors, q, k=29, centroids=km, n_probe=4,
+                            exclude_id=0).collect()}
+    assert full_km == exact
+
+
 def test_lsh_topk_subset_of_bucket(vectors):
     q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     exact = {r["vec_id"]: r["cosine"] for r in
