@@ -70,6 +70,12 @@ def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
     and the same callables are the query-side defaults."""
     custom = (getattr(config, "tokenize", None) is not None
               or getattr(config, "process_term", None) is not None)
+    if custom:
+        # the analysis UDF closure references package functions: ship the
+        # package to executor workers BEFORE any action can run it (the
+        # engine constructor also ships, but build() aggregates stats first)
+        from .. import ensure_workers
+        ensure_workers(docs.sparkSession)
     parts = []
     for fid, fname in enumerate(config.fields):
         src = F.col(fname).cast("string")
