@@ -51,14 +51,23 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> List[List[float]
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
-def lsh_bucket_col(vec_col, planes: List[List[float]]):
-    """Sign-bit bucket id: bit j = (v · h_j >= 0)."""
-    bucket = F.lit(0)
-    for j, h in enumerate(planes):
-        bit = F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in h]))
-                     >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+def _dot_sql(vec: str, weights: Sequence[float]) -> str:
+    """v · w as one SQL fold over literal weights — building the same
+    expression from per-element F.lit Columns costs a py4j round-trip per
+    literal (16 planes × 64 dims ≈ 1000 calls ≈ tens of seconds of pure
+    driver time)."""
+    lits = ", ".join(repr(float(x)) + "D" for x in weights)
+    return (f"aggregate(zip_with({vec}, array({lits}), "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+
+def lsh_bucket_expr(vec_sql: str, planes: List[List[float]]):
+    """Sign-bit bucket id: bit j = (v · h_j >= 0). ``vec_sql`` is the SQL
+    name of an array<double> column; the whole bucket is one SQL parse."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, h)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes))
+    return F.expr(bucket).cast("int")
 
 
 def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
@@ -80,7 +89,7 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
         if float(np.dot(qnp, np.asarray(h))) >= 0:
             qbucket |= 1 << j
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = lsh_bucket_col(F.col("__v"), planes)
+    bucket = lsh_bucket_expr("__v", planes)
     probe = (bucket == qbucket if hamming == 0 else
              F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= hamming)
     out = (embeddings
@@ -202,15 +211,19 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // n_bands
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
-    e = e.withColumn("__bucket", lsh_bucket_col(F.col("__v"), planes))
+    # per-vector projection with the norm computed ONCE (the verify would
+    # otherwise fold |v| per candidate pair per side)
+    e = (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+         .withColumn("__n", _norm(F.col("__v")))
+         .cache())
+    eb = e.withColumn("__bucket", lsh_bucket_expr("__v", planes))
     melt = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.shiftright(F.col("__bucket"), b * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"))
         for b in range(n_bands)])
-    bands = (e.select("vec_id", "__v", F.explode(melt).alias("b"))
-             .select("vec_id", "__v",
+    bands = (eb.select("vec_id", F.explode(melt).alias("b"))
+             .select("vec_id",
                      F.col("b.band_id").alias("band_id"),
                      F.col("b.band_val").alias("band_val")))
     if max_bucket:
@@ -220,13 +233,23 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
                  .where(F.col("__rn") <= max_bucket).drop("__rn"))
     left = bands.alias("l")
     right = bands.alias("r")
-    cos = (_dot(F.col("l.__v"), F.col("r.__v"))
-           / (_norm(F.col("l.__v")) * _norm(F.col("r.__v"))))
-    return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
-                      & (F.col("l.band_val") == F.col("r.band_val"))
-                      & (F.col("l.vec_id") < F.col("r.vec_id")))
-            .select(F.col("l.vec_id").alias("a"),
-                    F.col("r.vec_id").alias("b"),
-                    F.round(cos, 6).alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .distinct())
+    # candidate (a, b) ids only, DEDUPED before the expensive verify — a
+    # pair colliding in several bands would otherwise fold its vectors
+    # once per band
+    cands = (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
+                       & (F.col("l.band_val") == F.col("r.band_val"))
+                       & (F.col("l.vec_id") < F.col("r.vec_id")))
+             .select(F.col("l.vec_id").alias("a"),
+                     F.col("r.vec_id").alias("b"))
+             .distinct())
+    cos = (_dot(F.col("__va"), F.col("__vb"))
+           / (F.col("__na") * F.col("__nb")))
+    return (cands
+            .join(e.select(F.col("vec_id").alias("a"),
+                           F.col("__v").alias("__va"),
+                           F.col("__n").alias("__na")), "a")
+            .join(e.select(F.col("vec_id").alias("b"),
+                           F.col("__v").alias("__vb"),
+                           F.col("__n").alias("__nb")), "b")
+            .select("a", "b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
