@@ -37,18 +37,61 @@ from ..operators.compact import compact_posting_lists
 MANIFEST_VERSION = 2  # matches the reference's serialization version gate
 
 
-def _write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop FS layer — works
+    for file://, hdfs://, s3a://, ... (local os.* calls only work for the
+    first)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_json(path: str, obj: dict,
+                spark: Optional[SparkSession] = None) -> None:
+    """Atomic-ish JSON write: local fast path, Hadoop FS (create + rename)
+    for remote index roots."""
+    data = json.dumps(obj, indent=1, sort_keys=True)
+    if spark is None or "://" not in path:
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return
+    fs, hpath = _hadoop_fs(spark, path + ".tmp")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+    _, dest = _hadoop_fs(spark, path)
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    fs.rename(hpath, dest)
+
+
+def _read_json(path: str, spark: Optional[SparkSession] = None) -> dict:
+    if spark is None or "://" not in path:
+        with open(path) as f:
+            return json.load(f)
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)
 
 
 def save_index(index: SparkSearchIndex, path: str,
                layout: Optional[IndexLayout] = None,
                compact: bool = True) -> dict:
     """Write all index tables + manifest; returns the manifest."""
-    os.makedirs(path, exist_ok=True)
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)
     layout = layout or IndexLayout()
     # save compacts: every table is written through the live (tombstone-
     # filtered) view, so a load never resurrects discarded docs — the
@@ -104,15 +147,14 @@ def save_index(index: SparkSearchIndex, path: str,
                     "n_term_buckets": layout.n_term_buckets,
                     "block_doc_range": layout.block_doc_range},
     }
-    _write_json(f"{path}/manifest.json", manifest)
+    _write_json(f"{path}/manifest.json", manifest, index.spark)
     return manifest
 
 
 def load_index(spark: SparkSession, path: str,
                cache: bool = True) -> SparkSearchIndex:
     """Read manifest (strict version gate, like loadJSONIndex) + tables."""
-    with open(f"{path}/manifest.json") as f:
-        manifest = json.load(f)
+    manifest = _read_json(f"{path}/manifest.json", spark)
     if manifest.get("version") != MANIFEST_VERSION:
         raise ValueError(
             f"cannot load index: unsupported version {manifest.get('version')}")
@@ -174,20 +216,23 @@ def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
     simulate a mid-build crash.
     """
     spark = docs_df.sparkSession
-    os.makedirs(f"{path}/chunks", exist_ok=True)
+    if "://" not in path:
+        os.makedirs(f"{path}/chunks", exist_ok=True)
     state_file = f"{path}/build_state.json"
 
-    if os.path.exists(f"{path}/assigned/_SUCCESS"):
-        assigned = spark.read.parquet(f"{path}/assigned")
-    else:
-        assigned = assign_doc_ids(docs_df, order_cols)
-        assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+    assigned = _try_read_parquet(spark, f"{path}/assigned")
+    if assigned is None:
+        assign_doc_ids(docs_df, order_cols).write.mode(
+            "overwrite").parquet(f"{path}/assigned")
         assigned = spark.read.parquet(f"{path}/assigned")
 
     done: Dict[str, dict] = {}
-    if os.path.exists(state_file):
-        with open(state_file) as f:
-            done = json.load(f).get("chunks", {})
+    try:
+        done = _read_json(state_file, spark).get("chunks", {})
+    except (FileNotFoundError, OSError):
+        pass
+    except Exception:  # remote FS raises py4j-wrapped IOException
+        pass
 
     t_start = time.time()
     for c in range(n_chunks):
@@ -204,7 +249,7 @@ def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
         n_post = spark.read.parquet(f"{path}/chunks/postings_{c}").count()
         done[key] = {"docs_tokenized": n_docs, "postings_emitted": n_post,
                      "finished_at": time.time()}
-        _write_json(state_file, {"chunks": done})
+        _write_json(state_file, {"chunks": done}, spark)
         if fail_after_chunk is not None and c >= fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {c}")
 
@@ -227,5 +272,5 @@ def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
         "wall_sec": round(time.time() - t_start, 3),
         "docs_total": doc_count,
     }
-    _write_json(f"{path}/manifest.json", manifest)
+    _write_json(f"{path}/manifest.json", manifest, spark)
     return manifest

@@ -92,6 +92,23 @@ def test_save_load_roundtrip(spark, corpus, tmp_path):
         load_index(spark, path)
 
 
+def test_save_load_over_fs_uri(spark, corpus, tmp_path):
+    """A scheme-qualified index root (file://, standing in for s3a/hdfs)
+    routes manifest I/O through the Hadoop FS layer instead of local
+    os.* calls — the round-2 S3/HDFS-safety path."""
+    idx = SparkSearchIndex.build(corpus, CFG, order_cols=["repo", "path"])
+    path = "file://" + str(tmp_path / "fsidx")
+    manifest = save_index(idx, path)
+    assert manifest["version"] == 2
+    loaded = load_index(spark, path)
+    assert loaded._term_dict is not None       # optional tables probed
+    assert loaded._posting_lists is not None   # via spark.read, not os.*
+    q = "parse tokenizer"
+    a = [(r["id"], round(r["score"], 9)) for r in idx.search(q)]
+    b = [(r["id"], round(r["score"], 9)) for r in loaded.search(q)]
+    assert a == b and a
+
+
 def test_resumable_build_resumes(spark, corpus, tmp_path):
     path = str(tmp_path / "resume")
     with pytest.raises(RuntimeError, match="injected failure"):
