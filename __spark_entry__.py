@@ -418,6 +418,19 @@ def q_binary_meta(spark, sf_dir):
                     F.md5(F.col("__b")).alias("content_md5")))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction through the Arrow mapInPandas path:
+    binary payloads → per-media byte stats. Gates the Python plumbing
+    (batch iteration, binary columns, schema) against the SQL oracle —
+    byte sums are exact integers in float64, so numpy and SQL means are
+    bit-identical."""
+    from slimsearch_spark.operators import multimodal as mm
+    media = mm.synth_media(_docs(spark, sf_dir))
+    return (mm.extract_features(media)
+            .select("media_id", "n_bytes",
+                    F.round("byte_mean", 6).alias("byte_mean")))
+
+
 def q_sha256_invariant(spark, sf_dir):
     """North-rule per-row invariant: content sha256 (F.sha2 == oracle)."""
     return (_docs(spark, sf_dir)
@@ -474,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "binary_meta": q_binary_meta,
+        "media_features": q_media_features,
         "sha256_invariant": q_sha256_invariant,
     }
 
@@ -1306,6 +1320,13 @@ FROM sess GROUP BY 1, 2"""
     sql["binary_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
+FROM documents"""
+
+    sql["media_features"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       round(list_avg(list_transform(string_split_regex(text, ''),
+                                     x -> ascii(x))), 6) AS byte_mean
 FROM documents"""
 
     sql["sha256_invariant"] = \

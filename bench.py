@@ -67,7 +67,7 @@ def main() -> None:
         "text_quality", "token_counts", "fingerprint",
         "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
         "ann_ivf_topk", "embedding_near_dup",
-        "events_windowed", "sessionize",
+        "events_windowed", "sessionize", "media_features",
     ]
     qs = E.queries()
     for name in bench_queries:
