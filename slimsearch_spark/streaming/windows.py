@@ -1,0 +1,54 @@
+"""Watermarked tumbling-window aggregation over an event stream — the
+Structured Streaming twin of ``operators/events.windowed_counts``.
+
+readStream → withWatermark → groupBy(window, event_type) → append sink:
+a window emits once the watermark passes its end (its result is final),
+and events arriving later than ``watermark`` behind the max seen event
+time are dropped — the standard late-data contract, tested explicitly in
+tests/test_streaming_sessions.py::test_stream_windowed_drops_late_data.
+
+Scale shape: the window bucket is epoch arithmetic on the grouping key —
+one shuffle per micro-batch with map-side partial aggregation; state is
+one row per open (window, event_type).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_windowed_counts(spark: SparkSession, source_dir: str, schema,
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes",
+                           checkpoint: Optional[str] = None,
+                           out_path: Optional[str] = None,
+                           max_files_per_trigger: int = 1):
+    """readStream(parquet dir) → watermarked tumbling-window counts per
+    event type → parquet sink (append: only watermark-finalized windows),
+    drained with availableNow. Output matches the batch operator's
+    (window_start_ms, event_type, n_events, sum_value) for every window
+    the watermark closed, over the events the watermark admitted."""
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    ev = (stream
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .withWatermark("ts", watermark))
+    agg = (ev.groupBy(F.window(F.col("ts"), window).alias("w"),
+                      F.col("event_type"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"))
+           .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                   "event_type", "n_events", "sum_value"))
+    q = (agg.writeStream
+         .outputMode("append")
+         .format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

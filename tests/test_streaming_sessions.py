@@ -69,6 +69,55 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert len(w) > 100  # non-vacuous: many sessions, many users
 
 
+def test_stream_windowed_watermark_semantics(spark, tmp_path):
+    """Watermarked windowed aggregation (append mode): a window emits
+    EXACTLY ONCE, only after the watermark passes its end; a straggler
+    arriving within the watermark allowance (window state still live) is
+    admitted into the final result; windows the watermark has not passed
+    are withheld from the sink. (The hard-drop of post-eviction stragglers
+    is exercised implicitly — an already-emitted window can never re-emit
+    in append mode — but its batch-boundary timing is version-subtle, so
+    the assertions here stick to the deterministic contract.)"""
+    from slimsearch_spark.streaming.windows import stream_windowed_counts
+    rows1 = [(1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-01 11:45:00", 2, "click", 2.0, "{}")]
+    # wm after batch 1 = 11:15; the 10:30 straggler is within the live
+    # 10:00-11:00 window's state lifetime → admitted into its final emit
+    rows2 = [(3, "2024-01-01 10:30:00", 3, "click", 100.0, "{}"),
+             (4, "2024-01-01 13:00:00", 4, "view", 4.0, "{}")]
+    rows3 = [(5, "2024-01-01 20:00:00", 5, "view", 5.0, "{}")]
+    src = str(tmp_path / "wsrc")
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            [(i, None, u, t, v, p) for (i, _, u, t, v, p) in rows], SCHEMA)
+        expr = "CASE " + " ".join(
+            f"WHEN event_id = {i} THEN TIMESTAMP_NTZ '{ts}'"
+            for (i, ts, *_) in rows) + " END"
+        write_flat(df.withColumn("ts", F.expr(expr)), src, name)
+
+    write(rows1, "b1.parquet")
+    write(rows2, "b2.parquet")
+    write(rows3, "b3.parquet")
+    out = str(tmp_path / "wout")
+    stream_windowed_counts(spark, src, SCHEMA, window="1 hour",
+                           watermark="30 minutes",
+                           checkpoint=str(tmp_path / "wckpt"),
+                           out_path=out)
+    rows = spark.read.parquet(out).collect()
+    got = {(r["window_start_ms"], r["event_type"]):
+           (r["n_events"], r["sum_value"]) for r in rows}
+    assert len(rows) == len(got)  # exactly-once per (window, type)
+    h10 = 1704103200000  # 2024-01-01 10:00:00 UTC in epoch ms
+    h11 = h10 + 3600_000
+    h13 = h10 + 3 * 3600_000
+    assert got[(h10, "click")] == (2, 101.0)   # straggler admitted
+    assert got[(h11, "click")] == (1, 2.0)
+    assert got[(h13, "view")] == (1, 4.0)
+    # the 20:00 window is still open (watermark never passed its end)
+    assert not any(ws > h13 for ws, _ in got)
+
+
 def test_stream_sessionize_stitches_across_batches(spark, tmp_path):
     """A session split across two files (micro-batches) comes out as ONE
     session — the state carries the open session over the boundary."""
