@@ -190,6 +190,63 @@ def q_wand_topk_adaptive(spark, sf_dir):
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
+def q_wand_and_topk(spark, sf_dir):
+    """Round 3: conjunctive (AND) block-max WAND top-10 — posting-list
+    intersection at grid-cell granularity with block skip; must be rank-
+    and score-identical to the exact AND plan's top-10."""
+    idx = _index(spark, sf_dir)
+    return (idx.search_topk_wand("spark join", 10, combineWith="AND",
+                                 adaptive_min_docs=0)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_wand_topk_multifield(spark, sf_dir):
+    """Round 3: multi-field WAND top-10 (fields text+source, source boosted
+    2x) — per-(term, field) df/idf, per-field avg length and boost routed
+    through the pruned path; identical to bm25_multifield's top-10."""
+    key = ("idx2", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(fields=["text", "source"], id_field="doc_id")
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    idx = _INDEX_CACHE[key]
+    return (idx.search_topk_wand("spark src3", 10, boost={"source": 2.0},
+                                 adaptive_min_docs=0)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_autosuggest_custom_defaults(spark, sf_dir):
+    """Round 3: index-level auto_suggest_options (reference
+    SearchIndex.ts:161-163) — fuzzy set once at createIndex applies to
+    every suggest call; 'spak' is not a corpus term, so ignoring the
+    defaults would return nothing."""
+    key = ("idx_aso", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                          auto_suggest_options={"fuzzy": 0.2})
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    idx = _INDEX_CACHE[key]
+    return (idx.auto_suggest_df("spak")
+            .select("suggestion", F.round("score", 6).alias("score")))
+
+
+def q_custom_extract_field(spark, sf_dir):
+    """Round 3: custom extract_field callable (reference typings.ts:246)
+    runs in the Arrow analysis UDF — the indexed text is computed from the
+    whole document (text + lang tag), changing tf/df of the lang tokens."""
+    key = ("idx_extract", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(
+            fields=["combo"], id_field="doc_id",
+            extract_field=lambda doc, field:
+                f"{doc['text']} lang{doc['lang']}")
+        _INDEX_CACHE[key] = SparkSearchIndex.build(
+            _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
+    idx = _INDEX_CACHE[key]
+    return _search_scores(idx, "langen merge")
+
+
 def q_wildcard(spark, sf_dir):
     """Q3: wildcard — every live doc, score 1."""
     from slimsearch_spark.config import WILDCARD
@@ -386,6 +443,27 @@ def q_ann_ivf_topk(spark, sf_dir):
                         exclude_id=0)
 
 
+def q_ann_ivf_topk_saved(spark, sf_dir):
+    """Round 3: IVF ANN over the persisted layout — the cell is a physical
+    partition column (save_ivf_index), so the probe prunes directories at
+    file-listing time (`PartitionFilters: [cell IN (...)]`); results must
+    equal the live ann_ivf_topk plan."""
+    import hashlib
+    import tempfile
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    seeds = sim.seed_centroids(emb, 16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/slimsearch_ivf_saved_{tag}"
+    key = ("ivf_saved", sf_dir)
+    if key not in _INDEX_CACHE:
+        sim.save_ivf_index(emb, path, seeds)
+        _INDEX_CACHE[key] = path
+    return sim.ivf_topk_saved(spark, path, q, k=10, centroids=seeds,
+                              n_probe=2, exclude_id=0)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded sign-LSH (16 planes,
     4 bands) + exact cosine verify ≥ 0.4 — never all-pairs."""
@@ -450,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
         "wand_topk_adaptive": q_wand_topk_adaptive,
+        "wand_and_topk": q_wand_and_topk,
+        "wand_topk_multifield": q_wand_topk_multifield,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
         "bm25_query_tree": q_bm25_query_tree,
@@ -466,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filtered": q_search_filtered,
         "autosuggest": q_autosuggest,
         "autosuggest_fuzzy": q_autosuggest_fuzzy,
+        "autosuggest_custom_defaults": q_autosuggest_custom_defaults,
+        "custom_extract_field": q_custom_extract_field,
         "search_after_discard": q_search_after_discard,
         "search_after_remove": q_search_after_remove,
         "incremental_add": q_incremental_add,
@@ -483,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_saved": q_ann_ivf_topk_saved,
         "embedding_near_dup": q_embedding_near_dup,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
@@ -571,6 +654,12 @@ FROM postings GROUP BY term"""
     # WAND is pruned-but-exact: same oracle as the unpruned top-k
     sql["wand_topk"] = sql["bm25_topk"]
     sql["wand_topk_adaptive"] = sql["bm25_topk"]
+
+    # conjunctive WAND: exact AND semantics, top-10 (round 3)
+    sql["wand_and_topk"] = _bm25_sql(
+        "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",
+        having="HAVING count(DISTINCT term) = 2",
+        quality="count(DISTINCT term)", limit="LIMIT 10")
 
     sql["bm25_and"] = _bm25_sql(
         "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",
@@ -688,6 +777,11 @@ scored AS (
 )
 SELECT doc_id, round(sum(s) * count(DISTINCT term), 6) AS score
 FROM scored GROUP BY doc_id"""
+
+    # multi-field WAND: pruned-but-exact → same scoring, top-10 (round 3)
+    sql["wand_topk_multifield"] = sql["bm25_multifield"] + """
+ORDER BY sum(s) * count(DISTINCT term) DESC, doc_id
+LIMIT 10"""
 
     # prefix: derived terms LIKE 's%', weight 0.375·len/(len+0.3·(len-1))
     prefix_terms = r"""
@@ -866,6 +960,50 @@ per_doc AS (
 )
 SELECT suggestion, round(avg(score), 6) AS score
 FROM per_doc GROUP BY suggestion"""
+
+    # index-level fuzzy default: identical expansion to autosuggest_fuzzy —
+    # the Spark side gets fuzzy from IndexConfig.auto_suggest_options, so a
+    # non-empty result proves the defaults reached the engine ('spak' is
+    # not a corpus term)
+    sql["autosuggest_custom_defaults"] = sql["autosuggest_fuzzy"]
+
+    # custom extract_field: the indexed text is computed from the whole doc
+    # (text + ' lang<lang>'), so the lang tokens join the postings
+    sql["custom_extract_field"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text || ' lang' || lang,
+                                   '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2
+),
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text || ' lang' || lang,
+             '[\n\r\p{Z}\p{P}]+')))::INT AS field_len
+  FROM documents
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
+q AS (SELECT unnest(['langen','merge']) AS term),
+matched AS (
+  SELECT p.term, p.doc_id, p.tf,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN q USING (term)
+),
+scored AS (
+  SELECT m.doc_id, m.term,
+         ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+)
+SELECT doc_id, round(sum(s) * count(DISTINCT term), 6) AS score
+FROM scored GROUP BY doc_id"""
 
     # tombstones: doc_id % 7 == 0 discarded → stats and df over survivors
     sql["search_after_discard"] = f"""
@@ -1252,6 +1390,9 @@ ORDER BY list_dot_product(e.v, q.qv) /
          (sqrt(list_dot_product(e.v, e.v)) *
           sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
 LIMIT 10"""
+
+    # saved IVF layout is result-identical to the live assignment
+    sql["ann_ivf_topk_saved"] = sql["ann_ivf_topk"]
 
     # embedding near-dup: 16 deterministic hyperplanes, 4 bands of 4 bits,
     # QUALIFY bucket cap, exact-cosine verify ≥ 0.4 on banded candidates

@@ -16,9 +16,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _calibrate() -> float:
+    """Burst-credit canary: a fixed single-threaded CPU-bound loop timed
+    before Spark starts. On this box identical jobs run 3-4x slower when
+    cgroup burst credits are drained (BASELINE.md §bench variance);
+    calibration_sec carries the credit state of THIS run so cross-run
+    comparisons can be normalized (~0.8 s on a cold-credit core, ~3x that
+    when drained)."""
+    t0 = time.time()
+    x = 0x9E3779B9
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    assert x >= 0
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    calibration_sec = _calibrate()
 
     from pyspark.sql import SparkSession
 
@@ -58,7 +74,8 @@ def main() -> None:
     E._INDEX_CACHE[("idx", sf_dir)] = idx  # reuse for the query benches
 
     bench_queries = [
-        "bm25_topk", "wand_topk", "wand_topk_adaptive", "bm25_and",
+        "bm25_topk", "wand_topk", "wand_topk_adaptive", "wand_and_topk",
+        "wand_topk_multifield", "bm25_and",
         "bm25_and_not", "prefix_search", "prefix_search_wide",
         "fuzzy_search", "autosuggest", "search_filtered",
         "search_doc_boosted", "custom_process_term",
@@ -66,7 +83,7 @@ def main() -> None:
         "simhash_near_dup", "lang_id",
         "text_quality", "token_counts", "fingerprint",
         "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
-        "ann_ivf_topk", "embedding_near_dup",
+        "ann_ivf_topk", "ann_ivf_topk_saved", "embedding_near_dup",
         "events_windowed", "sessionize", "media_features",
     ]
     qs = E.queries()
@@ -86,6 +103,7 @@ def main() -> None:
         "cpus": int(cpus),
         "n_docs": n_docs,
         "files_per_sec": round(n_docs / build_sec, 1),
+        "calibration_sec": calibration_sec,
     }
     print(json.dumps(out))
 

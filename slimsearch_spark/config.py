@@ -32,6 +32,12 @@ DEFAULT_MAX_FUZZY = 6  # reference: src/defaults.ts:31 (maxFuzzy)
 # joined DataFrame so the driver never materializes a wide expansion.
 DEFAULT_EXPANSION_COLLECT_THRESHOLD = 10_000
 
+# Callable boostDocument evaluates driver-side over the live doc map (the
+# reference's per-result callback has no distributed form); above this many
+# live docs the engine raises instead of silently collecting the corpus —
+# the Column-expression boost is the executor-side scale path.
+DEFAULT_DOC_BOOST_COLLECT_THRESHOLD = 100_000
+
 # Tokenizer split class (reference: src/constant.ts:3). Unicode Symbol chars
 # (+ = < > | $ ~ ^ `) are NOT separators — significant for source code.
 TOKEN_SPLIT_PATTERN = r"[\n\r\p{Z}\p{P}]+"
@@ -121,6 +127,12 @@ class IndexConfig:
     # Both are validated equal on the parity corpora (tests/test_tokenize.py).
     tokenizer: str = "jvm"
     search_options: Optional[SearchOptions] = None
+    # index-level autoSuggest defaults (reference src/SearchIndex.ts:49,
+    # 161-163, src/typings.ts:330): merged over the built-in AND +
+    # last-term-prefix defaults for every auto_suggest/auto_suggest_df
+    # call; per-call options still win. Accepts an AutoSuggestOptions /
+    # SearchOptions dataclass or a plain camelCase option dict.
+    auto_suggest_options: Optional[Union[SearchOptions, Mapping]] = None
     # True (reference default) = vacuum automatically when dirt_count ≥
     # minDirtCount AND dirt_factor ≥ minDirtFactor; a dict overrides the
     # thresholds; False disables (src/defaults.ts:25, src/vacuum.ts:15-21).
@@ -131,6 +143,16 @@ class IndexConfig:
     # query-side unless per-query options override them.
     tokenize: Optional[Callable[[str], Sequence[str]]] = None
     process_term: Optional[Callable[[str], Any]] = None
+    # custom field extraction / stringification (reference
+    # src/typings.ts:246,277; defaults src/defaults.ts:10-14), applied at
+    # index (and remove re-derive) time inside the Arrow analysis UDF:
+    # extract_field(doc_dict, field_name) -> value | None (None skips the
+    # field for that doc, the reference's == null check, src/add.ts:89-91);
+    # stringify_field(value, field_name) -> str (default str(value), the
+    # reference's .toString()). Dot-path struct columns stay the
+    # zero-Python fast path when neither is set.
+    extract_field: Optional[Callable[[Mapping, str], Any]] = None
+    stringify_field: Optional[Callable[[Any, str], str]] = None
     # logger(level, message) — reference src/defaults.ts:22; default routes
     # engine warnings through warnings.warn
     logger: Optional[Callable[[str, str], None]] = None

@@ -92,37 +92,72 @@ def accepts_field_arg(fn) -> bool:
     return len(positional) >= 2
 
 
-def custom_analysis_udf(tokenize_fn, process_fn, field_name: str):
+def custom_analysis_udf(tokenize_fn, process_fn, field_name: str,
+                        extract_fn=None, stringify_fn=None):
     """Arrow-vectorized index-time analysis with user callables (reference
-    src/add.ts:93-113): tokenize(text[, field]) → raw tokens;
+    add-time chain src/add.ts:89-113):
+    extractField(doc, field) → value (None skips the doc for this field);
+    stringifyField(value, field) → text (default ``str``);
+    tokenize(text[, field]) → raw tokens;
     field_len = len(set(raw tokens)); per token processTerm(term[, field])
     → str | list[str] (1→N expansion) | falsy (dropped).
 
     Returns a pandas UDF producing struct<terms: array<string>,
-    field_len: int> so the text is tokenized exactly once per row."""
+    field_len: int> so the text is tokenized exactly once per row. With
+    ``extract_fn`` the input column is a struct of the full row (the
+    callable sees the document dict); missing values are flagged
+    field_len = -1 for the caller to filter (the reference's == null
+    continue, src/add.ts:89-91)."""
     tok = tokenize_fn or tokenize_py
     proc = process_fn or (lambda t: t.lower())
     tok_2 = tokenize_fn is not None and accepts_field_arg(tokenize_fn)
     proc_2 = process_fn is not None and accepts_field_arg(process_fn)
 
+    def analyze_text(s):
+        """→ (terms, field_len) of one stringified field value."""
+        raw = tok(s, field_name) if tok_2 else tok(s)
+        terms = []
+        for t in raw:
+            p = proc(t, field_name) if proc_2 else proc(t)
+            if isinstance(p, (list, tuple)):
+                terms.extend(x for x in p if x)
+            elif p:
+                terms.append(p)
+        return terms, len(set(raw))
+
+    def stringify(val):
+        if stringify_fn is not None:
+            return stringify_fn(val, field_name)
+        return val if isinstance(val, str) else str(val)
+
+    if extract_fn is not None:
+        @F.pandas_udf("terms array<string>, field_len int")
+        def analyze_rows(rows: pd.DataFrame) -> pd.DataFrame:
+            out_terms, out_len = [], []
+            for rec in rows.to_dict("records"):
+                val = extract_fn(rec, field_name)
+                if val is None:
+                    out_terms.append([])
+                    out_len.append(-1)
+                    continue
+                terms, flen = analyze_text(stringify(val))
+                out_terms.append(terms)
+                out_len.append(flen)
+            return pd.DataFrame({"terms": out_terms, "field_len": out_len})
+
+        return analyze_rows
+
     @F.pandas_udf("terms array<string>, field_len int")
-    def analyze(texts: pd.Series) -> pd.DataFrame:
+    def analyze(values: pd.Series) -> pd.DataFrame:
         out_terms, out_len = [], []
-        for s in texts:
-            if s is None:
+        for v in values:
+            if v is None:
                 out_terms.append([])
                 out_len.append(0)
                 continue
-            raw = tok(s, field_name) if tok_2 else tok(s)
-            terms = []
-            for t in raw:
-                p = proc(t, field_name) if proc_2 else proc(t)
-                if isinstance(p, (list, tuple)):
-                    terms.extend(x for x in p if x)
-                elif p:
-                    terms.append(p)
+            terms, flen = analyze_text(stringify(v))
             out_terms.append(terms)
-            out_len.append(len(set(raw)))
+            out_len.append(flen)
         return pd.DataFrame({"terms": out_terms, "field_len": out_len})
 
     return analyze

@@ -68,8 +68,11 @@ def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
     callables run in one Arrow-batched pandas UDF per field (reference
     add-time chain src/add.ts:93-113, incl. 1→N expansion and falsy-drop),
     and the same callables are the query-side defaults."""
+    extract_fn = getattr(config, "extract_field", None)
+    stringify_fn = getattr(config, "stringify_field", None)
     custom = (getattr(config, "tokenize", None) is not None
-              or getattr(config, "process_term", None) is not None)
+              or getattr(config, "process_term", None) is not None
+              or extract_fn is not None or stringify_fn is not None)
     if custom:
         # the analysis UDF closure references package functions: ship the
         # package to executor workers BEFORE any action can run it (the
@@ -82,14 +85,26 @@ def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
         if custom:
             from ..functions.tokenize import custom_analysis_udf
             udf = custom_analysis_udf(config.tokenize, config.process_term,
-                                      fname)
-            part = (docs
-                    .where(F.col(fname).isNotNull())
-                    .select("doc_id", F.lit(fid).alias("field_id"),
-                            udf(src).alias("__a"))
-                    .select("doc_id", "field_id",
-                            F.col("__a.terms").alias("terms"),
-                            F.col("__a.field_len").alias("field_len")))
+                                      fname, extract_fn, stringify_fn)
+            if extract_fn is not None:
+                # the extractor sees the whole document dict; missing
+                # values come back field_len = -1 (reference == null skip)
+                inp = F.struct(*[F.col(c) for c in docs.columns])
+                part = (docs
+                        .select("doc_id", F.lit(fid).alias("field_id"),
+                                udf(inp).alias("__a"))
+                        .where(F.col("__a.field_len") >= 0))
+            else:
+                # stringify runs on the raw (uncast) value so the callable
+                # sees the native type, like the reference's .toString()
+                inp = F.col(fname) if stringify_fn is not None else src
+                part = (docs
+                        .where(F.col(fname).isNotNull())
+                        .select("doc_id", F.lit(fid).alias("field_id"),
+                                udf(inp).alias("__a")))
+            part = part.select("doc_id", "field_id",
+                               F.col("__a.terms").alias("terms"),
+                               F.col("__a.field_len").alias("field_len"))
         else:
             part = (docs
                     .where(F.col(fname).isNotNull())

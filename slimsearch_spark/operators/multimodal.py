@@ -39,11 +39,36 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_image(payload: bytes):
-    """Integration point for a real decoder (PIL/libvips/ffmpeg). Not
-    available in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; wire PIL/vips here")
+try:                                      # optional dependency: Pillow
+    from PIL import Image as _PILImage    # pragma: no cover
+except ImportError:                       # not in this container
+    _PILImage = None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an encoded image payload to an HxWxC uint8 array. Uses
+    Pillow when installed (optional dependency, gated behind import-try);
+    raises NotImplementedError otherwise — the deterministic
+    ``fake_feature`` path keeps the Spark-side plumbing testable without
+    an imaging library."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library (pip install Pillow "
+            "on the cluster image); the fake_feature path tests the "
+            "plumbing without it")
+    import io
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def image_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Real decode→embed when Pillow is present: per-channel-ish histogram
+    projection of the decoded pixels (same output shape as fake_feature,
+    so the two are drop-in interchangeable in extract_features)."""
+    px = decode_image(payload).reshape(-1).astype(np.float32)
+    chunks = np.array_split(px, dim)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks],
+                    dtype=np.float32)
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:

@@ -3,7 +3,11 @@
 North-rule item: "posting-list intersection with block-max WAND pruning and
 a distributed top-k heap merge". The reference has no top-k at all (it
 returns every match, src/search.ts:169-209); this is the scale path that
-makes the same BM25 ranking answerable over 10^12 files.
+makes the same BM25 ranking answerable over 10^12 files. Round 3 extends
+the path to conjunctive (AND) queries — the reference's AND combinator
+semantics (src/utils.ts:108-121: doc must appear in every sub-result,
+scores sum) — and to multi-field queries (src/results.ts:170-189: the
+per-field loop with per-(term, field) df and per-field average length).
 
 Plan shape (3 stages, all vectorized numpy inside Arrow-batched UDFs):
 
@@ -11,21 +15,27 @@ Plan shape (3 stages, all vectorized numpy inside Arrow-batched UDFs):
      Blocks are aligned to the absolute doc-id grid (operators/compact.py),
      so a shard's postings are a contiguous *byte slice* of each term's
      blobs — no decode, no split. Shard count scales with cluster cores.
+     Each emitted slice carries its branch (query term), derived term,
+     per-(term, field) idf, per-field average length and the composite
+     weight (expansion weight × term boost × field boost).
   2. **Prune + score** (applyInPandas per shard, the per-partition "heap"):
-       a. per-block BM25 upper bounds from block-max tf (field_len→0 bound);
-       b. a θ seed = k-th best exact partial score of the rarest term's
-          postings (a lower bound of the true k-th final score);
-       c. candidate docs = docs in blocks whose bound can reach θ
-          (every dropped doc provably scores < θ);
-       d. exact BM25 for candidates only, decoding only the blocks whose
-          doc-grid cells contain a candidate (physical block skip);
-       e. local top-k.
+     OR — per-block BM25 upper bounds, a θ seed (global pre-pass + local
+     rarest-slice refinement), candidate blocks whose bound can reach θ,
+     exact BM25 for candidates only (physical block skip).
+     AND — posting-list *intersection* at grid-cell granularity: a doc's
+     grid cell is the same in every posting list (cells partition the
+     doc-id space), so cells missing from any required branch are skipped
+     without decoding a byte; surviving cells are processed in descending
+     upper-bound order with a progressive θ from the running top-k, so the
+     loop stops as soon as the best remaining cell provably can't place a
+     doc in the top k.
   3. **Merge**: global orderBy(score desc, doc_id).limit(k) — Spark's
      TakeOrderedAndProject = per-partition heaps + driver merge.
 
 Scoring matches the reference kernel exactly (BM25+ src/utils.ts:136-152,
 quality multiplier src/search.ts:186-191): correctness tests assert the WAND
-top-k equals the full-sort prefix of the unpruned plan.
+top-k equals the full-sort prefix of the unpruned plan for OR, AND, and
+multi-field queries.
 """
 
 from __future__ import annotations
@@ -45,10 +55,12 @@ from ..functions.codec import decode_block_meta, decode_blocks
 
 SHARD_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType()),
+    T.StructField("branch", T.IntegerType()),
     T.StructField("query_term", T.StringType()),
     T.StructField("derived_term", T.StringType()),
     T.StructField("wmult", T.DoubleType()),
     T.StructField("idf", T.DoubleType()),
+    T.StructField("avg_len", T.DoubleType()),
     T.StructField("block_g", T.ArrayType(T.LongType())),
     T.StructField("block_n", T.ArrayType(T.IntegerType())),
     T.StructField("block_max", T.ArrayType(T.IntegerType())),
@@ -65,11 +77,16 @@ TOPK_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType()),
 ])
 
+# exp_by_term: derived_term → [(branch, query_term, weight·term_boost)]
+Expansions = Dict[str, List[Tuple[int, str, float]]]
 
-def _route_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
-                 doc_count: int, blocks_per_shard: int):
-    """mapInPandas fn: slice each matched list row into per-shard byte
-    ranges. ``exp_by_term``: derived_term → [(query_term, wmult)]."""
+
+def _route_stage(exp_by_term: Expansions, doc_count: int,
+                 blocks_per_shard: int,
+                 avg_len_by_fid: Mapping[int, float],
+                 fboost_by_fid: Mapping[int, float]):
+    """mapInPandas fn: slice each matched (term, field) list row into
+    per-shard byte ranges, one output slice per expansion entry."""
 
     def route(iterator):
         for pdf in iterator:
@@ -78,6 +95,9 @@ def _route_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
                 expansions = exp_by_term.get(row["term"])
                 if not expansions:
                     continue
+                fid = int(row["field_id"])
+                avg_len = float(avg_len_by_fid.get(fid, 1.0))
+                fboost = float(fboost_by_fid.get(fid, 1.0))
                 df_t = float(row["df"])
                 idf = math.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
                 g, bn, d_off, t_off, f_off, bmax = decode_block_meta(row)
@@ -98,12 +118,14 @@ def _route_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
                     db = row["doc_blob"][int(d_off[s]):int(d_end[e - 1])]
                     tb = row["tf_blob"][int(t_off[s]):int(t_end[e - 1])]
                     fb = row["fl_blob"][int(f_off[s]):int(f_end[e - 1])]
-                    for query_term, wmult in expansions:
+                    for branch, query_term, w in expansions:
                         out["shard"].append(int(shard[s]))
+                        out["branch"].append(int(branch))
                         out["query_term"].append(query_term)
                         out["derived_term"].append(row["term"])
-                        out["wmult"].append(float(wmult))
+                        out["wmult"].append(float(w) * fboost)
                         out["idf"].append(idf)
+                        out["avg_len"].append(avg_len)
                         out["block_g"].append(
                             g[s:e].astype(np.int64).tolist())
                         out["block_n"].append(
@@ -135,7 +157,7 @@ def _score_exact(tf: np.ndarray, fl: np.ndarray, idf: float, wmult: float,
 def _ub_block(block_max: np.ndarray, idf: float, wmult: float,
               bm25: Mapping[str, float]) -> np.ndarray:
     """Per-block score upper bound: max tf with the minimal norm
-    (field_len→0) — monotone in tf, ≥ any true in-block score."""
+    (field_len→0 bound) — monotone in tf, ≥ any true in-block score."""
     k, b, d = float(bm25["k"]), float(bm25["b"]), float(bm25["d"])
     m = block_max.astype(np.float64)
     return wmult * idf * (d + m * (k + 1.0) / (m + k * (1.0 - b)))
@@ -143,9 +165,11 @@ def _ub_block(block_max: np.ndarray, idf: float, wmult: float,
 
 def _slice_of_row(row) -> dict:
     return {
+        "branch": int(row["branch"]),
         "qt": row["query_term"],
         "wmult": float(row["wmult"]),
         "idf": float(row["idf"]),
+        "avg_len": float(row["avg_len"]),
         "g": np.asarray(row["block_g"], dtype=np.int64),
         "bn": np.asarray(row["block_n"], dtype=np.uint64),
         "bmax": np.asarray(row["block_max"], dtype=np.int64),
@@ -184,12 +208,14 @@ def _fetch_blocks(s: dict, which: np.ndarray, acc_decoded=None):
             np.concatenate([p[2] for p in parts]))
 
 
-def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
-                  doc_count: int, avg_len: float,
+def _theta0_stage(exp_by_term: Expansions, doc_count: int,
+                  avg_len_by_fid: Mapping[int, float],
+                  fboost_by_fid: Mapping[int, float],
                   bm25: Mapping[str, float], k_top: int, acc_decoded=None):
     """mapInPandas fn for the global-θ pre-pass over the raw matched lists:
-    per term, decode only the highest-impact blocks (by block-max upper
-    bound) until they cover ≥ k docs, emit (doc_id, exact partial score).
+    per (term, field) row, decode only the highest-impact blocks (by
+    block-max upper bound) until they cover ≥ k docs, emit (doc_id, exact
+    partial score).
 
     The caller reduces to max(partial) PER DISTINCT DOC before taking the
     k-th largest: a doc matching several query terms contributes one partial
@@ -198,7 +224,8 @@ def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
     score (over-pruning). With the per-doc max, the k-th value covers k
     distinct docs, each of whose final score ≥ its max partial (partials are
     positive and quality ≥ 1) — a valid lower bound of the true k-th final
-    score."""
+    score. OR queries only: under AND a pre-pass doc may fail the
+    conjunction and score 0, so its partial bounds nothing."""
 
     def run(iterator):
         for pdf in iterator:
@@ -211,9 +238,12 @@ def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
                 df_t = float(row["df"])
                 if df_t <= 0:
                     continue
+                fid = int(row["field_id"])
+                avg_len = float(avg_len_by_fid.get(fid, 1.0))
+                fboost = float(fboost_by_fid.get(fid, 1.0))
                 idf = math.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
                 g, bn, d_off, t_off, f_off, bmax = decode_block_meta(row)
-                wmult = max(w for _, w in expansions)
+                wmult = max(w for _, _, w in expansions) * fboost
                 ub = _ub_block(bmax.astype(np.int64), idf, wmult, bm25)
                 order = np.argsort(-ub, kind="stable")
                 covered, take = 0, []
@@ -246,25 +276,46 @@ def _theta0_stage(exp_by_term: Dict[str, List[Tuple[str, float]]],
     return run
 
 
-def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
-                 bm25: Mapping[str, float], block_doc_range: int,
-                 theta0: float = 0.0,
-                 acc_blocks_total=None, acc_blocks_decoded=None):
-    """applyInPandas fn: per-shard block-max prune + exact top-k.
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")})
+
+
+def _agg_chunk(doc_parts, score_parts, qt_parts, br_parts=None,
+               require_branches: Optional[int] = None) -> pd.DataFrame:
+    """Group per-posting partials by doc: score = Σ partials × #distinct
+    query terms matched (the reference quality multiplier,
+    src/search.ts:186-191). With ``require_branches``, keep only docs
+    matching every branch (AND, src/utils.ts:108-121)."""
+    cols = {"doc_id": np.concatenate(doc_parts),
+            "s": np.concatenate(score_parts),
+            "qt": np.concatenate(qt_parts)}
+    aggs = {"raw": ("s", "sum"), "q": ("qt", "nunique")}
+    if require_branches is not None:
+        cols["branch"] = np.concatenate(br_parts)
+        aggs["nb"] = ("branch", "nunique")
+    agg = (pd.DataFrame(cols).groupby("doc_id").agg(**aggs).reset_index())
+    if require_branches is not None:
+        agg = agg[agg["nb"] == require_branches]
+    agg["score"] = agg["raw"] * agg["q"]
+    return agg[["doc_id", "score"]]
+
+
+def _shard_stage_or(k_top: int, n_query_terms: int,
+                    bm25: Mapping[str, float], block_doc_range: int,
+                    theta0: float = 0.0,
+                    acc_blocks_total=None, acc_blocks_decoded=None):
+    """applyInPandas fn: per-shard block-max prune + exact top-k (OR).
 
     θ = max(global θ0 from the pre-pass, local seed from the rarest slice).
     Blocks decode at most once per shard (``_fetch_blocks`` cache); the
     accumulators count blocks present vs. physically decoded."""
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
-
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         slices = [s for s in (_slice_of_row(r) for _, r in pdf.iterrows())
                   if s["n"]]
         if not slices:
-            return _empty()
+            return _empty_topk()
         if acc_blocks_total is not None:
             acc_blocks_total.add(int(sum(s["bn"].size for s in slices)))
 
@@ -280,7 +331,7 @@ def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
                 seed, np.arange(seed["bn"].size, dtype=np.int64),
                 acc_blocks_decoded)
             seed_scores = _score_exact(st, sf, seed["idf"], seed["wmult"],
-                                       avg_len, bm25)
+                                       seed["avg_len"], bm25)
             if seed_scores.size >= k_top:
                 theta = max(theta, float(
                     np.partition(seed_scores, -k_top)[-k_top]))
@@ -296,7 +347,7 @@ def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
                 d, _, _ = _fetch_blocks(s, keep, acc_blocks_decoded)
                 cand_parts.append(d.astype(np.int64))
         if not cand_parts:
-            return _empty()
+            return _empty_topk()
         candidates = np.unique(np.concatenate(cand_parts))
         cand_cells = np.unique(candidates // np.int64(block_doc_range))
 
@@ -314,22 +365,104 @@ def _shard_stage(k_top: int, n_query_terms: int, avg_len: float,
                 continue
             doc_parts.append(d[mask])
             score_parts.append(_score_exact(t[mask], fl[mask], s["idf"],
-                                            s["wmult"], avg_len, bm25))
+                                            s["wmult"], s["avg_len"], bm25))
             qt_parts.append(np.full(int(mask.sum()), s["qt"], dtype=object))
 
         if not doc_parts:
-            return _empty()
-        docs = np.concatenate(doc_parts)
-        scores = np.concatenate(score_parts)
-        qts = np.concatenate(qt_parts)
-        agg = (pd.DataFrame({"doc_id": docs, "s": scores, "qt": qts})
-               .groupby("doc_id")
-               .agg(raw=("s", "sum"), q=("qt", "nunique"))
-               .reset_index())
-        agg["score"] = agg["raw"] * agg["q"]
-        agg = agg.sort_values(["score", "doc_id"],
-                              ascending=[False, True]).head(k_top)
-        return agg[["doc_id", "score"]]
+            return _empty_topk()
+        agg = _agg_chunk(doc_parts, score_parts, qt_parts)
+        return (agg.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k_top))
+
+    return score_shard
+
+
+def _shard_stage_and(k_top: int, n_branches: int, n_query_terms: int,
+                     bm25: Mapping[str, float],
+                     acc_blocks_total=None, acc_blocks_decoded=None,
+                     chunk_cells: int = 64):
+    """applyInPandas fn: per-shard conjunctive (AND) intersection + top-k.
+
+    Posting-list intersection happens at grid-cell granularity first: a
+    doc's cell (doc_id // block_doc_range) is identical in every posting
+    list (compact.py aligns blocks to the absolute doc-id grid), so any
+    cell absent from some required branch cannot hold a qualifying doc and
+    all its blocks are skipped WITHOUT decoding. Surviving cells are
+    processed in descending upper-bound order (Σ over branches of the
+    cell's summed slice bounds × the quality bound); a progressive θ — the
+    k-th best score of docs that already passed the conjunction — stops the
+    scan once the best remaining cell can't beat it. Cells partition the
+    doc-id space, so per-chunk doc aggregation is exact (no doc spans two
+    chunks)."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        slices = [s for s in (_slice_of_row(r) for _, r in pdf.iterrows())
+                  if s["n"]]
+        if not slices:
+            return _empty_topk()
+        if acc_blocks_total is not None:
+            acc_blocks_total.add(int(sum(s["bn"].size for s in slices)))
+
+        # cell sets per branch; conjunction = intersection over branches.
+        # A shard missing a whole branch has no qualifying doc at all.
+        branch_cells: Dict[int, set] = {}
+        for s in slices:
+            branch_cells.setdefault(s["branch"], set()).update(
+                s["g"].tolist())
+        if len(branch_cells) < n_branches:
+            return _empty_topk()
+        cells_all = set.intersection(*branch_cells.values())
+        if not cells_all:
+            return _empty_topk()
+        cell_arr = np.asarray(sorted(cells_all), dtype=np.int64)
+
+        # per-cell upper bound: Σ over slices covering the cell of the
+        # slice's block bound (contributions within a branch SUM — a doc
+        # can match several derived terms/fields of one query term)
+        cell_ub = np.zeros(cell_arr.size, dtype=np.float64)
+        for s in slices:
+            s["ub"] = _ub_block(s["bmax"], s["idf"], s["wmult"], bm25)
+            pos = np.searchsorted(cell_arr, s["g"])
+            ok = (pos < cell_arr.size)
+            ok[ok] = cell_arr[pos[ok]] == s["g"][ok]
+            np.add.at(cell_ub, pos[ok], s["ub"][ok])
+
+        order = np.argsort(-cell_ub, kind="stable")
+        theta = 0.0
+        best = _empty_topk()
+        pos0 = 0
+        while pos0 < order.size:
+            # cells are visited best-first: once the best remaining cell's
+            # bound (× max quality) is below θ, every later cell is too
+            if (best.shape[0] >= k_top
+                    and n_query_terms * cell_ub[order[pos0]] < theta):
+                break
+            chunk = cell_arr[order[pos0:pos0 + chunk_cells]]
+            pos0 += chunk_cells
+            doc_parts, score_parts, qt_parts, br_parts = [], [], [], []
+            for s in slices:
+                need = np.nonzero(np.isin(s["g"], chunk))[0]
+                if not need.size:
+                    continue
+                d, t, fl = _fetch_blocks(s, need, acc_blocks_decoded)
+                d = d.astype(np.int64)
+                doc_parts.append(d)
+                score_parts.append(_score_exact(
+                    t, fl, s["idf"], s["wmult"], s["avg_len"], bm25))
+                qt_parts.append(np.full(d.size, s["qt"], dtype=object))
+                br_parts.append(np.full(d.size, s["branch"], dtype=np.int64))
+            if not doc_parts:
+                continue
+            agg = _agg_chunk(doc_parts, score_parts, qt_parts, br_parts,
+                             require_branches=n_branches)
+            if agg.empty:
+                continue
+            best = (pd.concat([best, agg])
+                    .sort_values(["score", "doc_id"],
+                                 ascending=[False, True]).head(k_top))
+            if best.shape[0] >= k_top:
+                theta = float(best["score"].iloc[-1])
+        return best
 
     return score_shard
 
@@ -339,16 +472,21 @@ def wand_topk(posting_lists: DataFrame,
               k_top: int,
               doc_count: int,
               avg_field_length: Mapping[int, float],
-              field_id: int = 0,
-              field_boost: float = 1.0,
+              field_ids: Sequence[int] = (0,),
+              field_boost_by_id: Optional[Mapping[int, float]] = None,
+              combine_with: str = "or",
               bm25: Optional[Mapping[str, float]] = None,
               layout: Optional[IndexLayout] = None,
               max_doc_id: Optional[int] = None,
               n_shards: Optional[int] = None,
               metrics: Optional[dict] = None) -> DataFrame:
-    """Top-k BM25 OR-query over compacted posting lists with block-max
+    """Top-k BM25 query over compacted posting lists with block-max
     pruning. ``expansion_rows``: (branch, query_term, derived_term, rank,
     weight, term_boost) as produced by the engine's expansion planner.
+    ``combine_with``: 'or' (disjunctive WAND) or 'and' (conjunctive —
+    posting-list intersection with block skip, reference AND semantics
+    src/utils.ts:108-121). ``field_ids``/``field_boost_by_id``: the
+    searched fields and their boosts (src/results.ts:181-189).
 
     Returns DataFrame(doc_id, score) — the global top-k, reference-identical
     scores (quality multiplier included).
@@ -359,19 +497,30 @@ def wand_topk(posting_lists: DataFrame,
     """
     layout = layout or IndexLayout()
     bm25 = dict(DEFAULT_BM25, **(bm25 or {}))
+    combine_with = combine_with.lower()
+    if combine_with not in ("or", "and"):
+        raise ValueError(f"wand_topk supports or/and (got {combine_with})")
     spark = posting_lists.sparkSession
 
-    exp_by_term: Dict[str, List[Tuple[str, float]]] = {}
+    exp_by_term: Expansions = {}
+    branches = set()
     query_terms = set()
-    for (_b, query_term, derived_term, _r, weight, term_boost) in expansion_rows:
+    for (branch, query_term, derived_term, _r, weight, term_boost) \
+            in expansion_rows:
+        branches.add(int(branch))
         query_terms.add(query_term)
         exp_by_term.setdefault(derived_term, []).append(
-            (query_term, float(weight) * float(term_boost) * field_boost))
+            (int(branch), query_term, float(weight) * float(term_boost)))
     if not exp_by_term:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
+    fids = [int(f) for f in field_ids]
+    fboost = {int(k): float(v)
+              for k, v in (field_boost_by_id or {}).items()}
+    avg_by_fid = {int(k): float(v) for k, v in avg_field_length.items()}
+
     matched = (posting_lists
-               .where((F.col("field_id") == field_id)
+               .where(F.col("field_id").isin(fids)
                       & F.col("term").isin(list(exp_by_term))))
 
     if max_doc_id is None:
@@ -389,32 +538,40 @@ def wand_topk(posting_lists: DataFrame,
         metrics["blocks_total"] = acc_total
         metrics["blocks_decoded"] = acc_decoded
 
-    avg_len = float(avg_field_length.get(field_id, 1.0))
-
-    # global-θ pre-pass: exact partials from each term's top-impact blocks;
-    # the k-th largest seeds every shard's threshold. matched is re-read by
-    # the main pass — it is the term-pruned scan (a few lists), not cached,
-    # to avoid leaking per-query cache entries
     theta0 = 0.0
-    top = (matched
-           .mapInPandas(_theta0_stage(exp_by_term, doc_count, avg_len,
-                                      bm25, k_top, acc_decoded),
-                        T.StructType([T.StructField("doc_id", T.LongType()),
-                                      T.StructField("s", T.DoubleType())]))
-           # max partial per DISTINCT doc before the k-th largest — see
-           # _theta0_stage: pooling partials without doc identity would let
-           # one doc fill several of the top-k slots and over-prune
-           .groupBy("doc_id").agg(F.max("s").alias("s"))
-           .orderBy(F.desc("s")).limit(k_top).collect())
-    if len(top) >= k_top:
-        theta0 = float(top[-1]["s"])
+    if combine_with == "or":
+        # global-θ pre-pass: exact partials from each term's top-impact
+        # blocks; the k-th largest seeds every shard's threshold. matched is
+        # re-read by the main pass — it is the term-pruned scan (a few
+        # lists), not cached, to avoid leaking per-query cache entries.
+        # AND has no pre-pass: a partial of a doc that fails the conjunction
+        # bounds nothing (its final score is "absent", not Σ partials).
+        top = (matched
+               .mapInPandas(_theta0_stage(exp_by_term, doc_count,
+                                          avg_by_fid, fboost,
+                                          bm25, k_top, acc_decoded),
+                            T.StructType([
+                                T.StructField("doc_id", T.LongType()),
+                                T.StructField("s", T.DoubleType())]))
+               # max partial per DISTINCT doc before the k-th largest — see
+               # _theta0_stage: pooling partials without doc identity would
+               # let one doc fill several top-k slots and over-prune
+               .groupBy("doc_id").agg(F.max("s").alias("s"))
+               .orderBy(F.desc("s")).limit(k_top).collect())
+        if len(top) >= k_top:
+            theta0 = float(top[-1]["s"])
 
     routed = matched.mapInPandas(
-        _route_stage(exp_by_term, doc_count, blocks_per_shard), SHARD_SCHEMA)
-    local = routed.groupBy("shard").applyInPandas(
-        _shard_stage(k_top, len(query_terms), avg_len, bm25,
-                     layout.block_doc_range, theta0, acc_total, acc_decoded),
-        TOPK_SCHEMA)
+        _route_stage(exp_by_term, doc_count, blocks_per_shard,
+                     avg_by_fid, fboost), SHARD_SCHEMA)
+    if combine_with == "and":
+        stage = _shard_stage_and(k_top, len(branches), len(query_terms),
+                                 bm25, acc_total, acc_decoded)
+    else:
+        stage = _shard_stage_or(k_top, len(query_terms), bm25,
+                                layout.block_doc_range, theta0,
+                                acc_total, acc_decoded)
+    local = routed.groupBy("shard").applyInPandas(stage, TOPK_SCHEMA)
     return (local
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k_top))

@@ -76,6 +76,13 @@ def _read_json(path: str, spark: Optional[SparkSession] = None) -> dict:
         with open(path) as f:
             return json.load(f)
     fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        # the remote write is tmp → delete(dest) → rename: a driver death
+        # between the last two leaves only the completed .tmp — fall back
+        # to it so the index root stays loadable (round-2 ADVICE)
+        _, tmp = _hadoop_fs(spark, path + ".tmp")
+        if fs.exists(tmp):
+            hpath = tmp
     stream = fs.open(hpath)
     try:
         jvm = spark.sparkContext._jvm
@@ -84,6 +91,18 @@ def _read_json(path: str, spark: Optional[SparkSession] = None) -> dict:
     finally:
         stream.close()
     return json.loads(data)
+
+
+def _json_exists(path: str, spark: Optional[SparkSession] = None) -> bool:
+    """Filesystem-agnostic existence probe for a JSON file (incl. the
+    torn-write .tmp fallback on remote roots)."""
+    if spark is None or "://" not in path:
+        return os.path.exists(path)
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        return True
+    _, tmp = _hadoop_fs(spark, path + ".tmp")
+    return bool(fs.exists(tmp))
 
 
 def save_index(index: SparkSearchIndex, path: str,
@@ -226,13 +245,12 @@ def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
             "overwrite").parquet(f"{path}/assigned")
         assigned = spark.read.parquet(f"{path}/assigned")
 
+    # missing state = fresh build; a PRESENT but unreadable/corrupt state
+    # file propagates instead of silently redoing every chunk (round-2
+    # ADVICE: the blanket `except Exception: pass` hid real I/O errors)
     done: Dict[str, dict] = {}
-    try:
+    if _json_exists(state_file, spark):
         done = _read_json(state_file, spark).get("chunks", {})
-    except (FileNotFoundError, OSError):
-        pass
-    except Exception:  # remote FS raises py4j-wrapped IOException
-        pass
 
     t_start = time.time()
     for c in range(n_chunks):

@@ -103,11 +103,15 @@ def stream_sessionize(spark: SparkSession, source_dir: str, schema,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
-    # watermarks need TIMESTAMP_LTZ; with the UTC session timezone the
-    # cast keeps naive parquet instants at their face value, so __ms here
-    # equals the batch operator's NTZ-based epoch_ms
+    # watermarks need TIMESTAMP_LTZ; the NTZ→LTZ cast interprets naive
+    # parquet instants in the session zone, so shift back by the session-
+    # zone offset (identity under UTC) — __ms and the gap boundaries then
+    # equal the batch operator's timezone-independent epoch_ms whatever
+    # spark.sql.session.timeZone is (round-2 ADVICE).
+    tz = spark.conf.get("spark.sql.session.timeZone")
     ev = (stream
-          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("ts", F.from_utc_timestamp(
+              F.col("ts").cast("timestamp"), tz))
           .withWatermark("ts", watermark)
           .withColumn("__ms", F.unix_millis(F.col("ts")))
           .select("user_id", "event_id", "__ms", "value", "ts"))

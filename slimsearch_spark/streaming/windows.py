@@ -34,8 +34,15 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str, schema,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
+    # NTZ parquet instants cast to LTZ are interpreted in the session zone
+    # (internal instant = wall − offset); shifting back by the session-zone
+    # offset makes the window buckets and epoch-ms output equal the batch
+    # operator's timezone-independent arithmetic whatever
+    # spark.sql.session.timeZone is (identity under UTC).
+    tz = spark.conf.get("spark.sql.session.timeZone")
     ev = (stream
-          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("ts", F.from_utc_timestamp(
+              F.col("ts").cast("timestamp"), tz))
           .withWatermark("ts", watermark))
     agg = (ev.groupBy(F.window(F.col("ts"), window).alias("w"),
                       F.col("event_type"))

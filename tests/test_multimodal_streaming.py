@@ -64,3 +64,25 @@ def test_stream_build_matches_batch(spark, tmp_path):
     # same docs, same scores (doc_ids differ — compare by external id)
     assert {(r["id"], round(r["score"], 9)) for r in a} == \
         {(r["id"], round(r["score"], 9)) for r in b}
+
+
+def test_decode_image_optional_dependency():
+    """decode_image is a real decoder behind an import-try (round 3):
+    with Pillow absent it raises the documented NotImplementedError; with
+    Pillow present it decodes to HxWxC uint8 and image_feature matches
+    fake_feature's output shape."""
+    import numpy as np
+    import pytest
+    from slimsearch_spark.operators import multimodal as mm
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            mm.decode_image(b"not-an-image")
+        return
+    import io
+    im = mm._PILImage.new("RGB", (4, 3), color=(10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    px = mm.decode_image(buf.getvalue())
+    assert px.shape == (3, 4, 3) and px.dtype == np.uint8
+    feat = mm.image_feature(buf.getvalue(), dim=8)
+    assert feat.shape == (8,) and feat.dtype == np.float32

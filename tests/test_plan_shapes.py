@@ -50,6 +50,20 @@ def test_single_scoring_subtree(index):
     assert p.count("Window [count(1)") == 1
 
 
+def test_wide_expansion_no_single_partition_exchange(index):
+    """The DF (no-collect) expansion path must not funnel the matched
+    dictionary slice through one task: rank is an order surrogate (the
+    class), not a global row_number window (round-2 VERDICT fix). A
+    regression would show `Exchange SinglePartition` + `Window [row_number`
+    in the plan."""
+    p = plan_of(index.search_df("pa", prefix=True, fuzzy=1,
+                                expansionCollectThreshold=0, top_k=10))
+    # (assign_doc_ids' __pid-partitioned row_number in the cached build
+    # lineage is fine — only an unpartitioned window forces a single task,
+    # and any unpartitioned window plans as Exchange SinglePartition)
+    assert "Exchange SinglePartition" not in p, p
+
+
 def test_postings_build_single_shuffle(spark, index):
     from slimsearch_spark.operators.build import build_postings, tokenize_fields
     docs = synth_corpus(spark, 50, tokens_per_file=30)
@@ -84,6 +98,28 @@ def test_loaded_index_partition_pruning(spark, index, tmp_path):
          index.search_df("varint merge", top_k=5)
          .select("doc_id", "score").collect()]
     assert a == b
+
+
+def test_ivf_saved_partition_pruning(spark, tmp_path):
+    """save_ivf_index persists the IVF cell as a partition column; the
+    probe must prune at the parquet scan (PartitionFilters) and return the
+    same top-k as the live assignment plan (round-2 VERDICT #6)."""
+    import re
+    from slimsearch_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    seeds = sim.seed_centroids(emb, 16)
+    path = str(tmp_path / "ivf")
+    sim.save_ivf_index(emb, path, seeds)
+    saved = sim.ivf_topk_saved(spark, path, q, k=10, centroids=seeds,
+                               n_probe=2, exclude_id=0)
+    p = plan_of(saved, "formatted")
+    assert re.search(r"PartitionFilters: \[.*cell#\d+ IN \(", p), p[-2000:]
+    live = sim.ivf_topk(emb, q, k=10, centroids=seeds, n_probe=2,
+                        exclude_id=0)
+    assert [(r["vec_id"], r["cosine"]) for r in saved.collect()] == \
+        [(r["vec_id"], r["cosine"]) for r in live.collect()]
 
 
 def test_scan_pushdown_and_pruning(spark, tmp_path):

@@ -152,3 +152,35 @@ def test_stream_sessionize_stitches_across_batches(spark, tmp_path):
         .select("session_id", "n_events", "sum_value").collect())
     # events 1-3 stitch into session 0 (10:00-10:20); event 4 is session 1
     assert got == [(0, 3, 6.0), (1, 1, 4.0)]
+
+
+def test_stream_windowed_timezone_independent(spark, tmp_path):
+    """Round-3 ADVICE (medium): window buckets and epoch-ms output must not
+    depend on spark.sql.session.timeZone. Same stream under +05:30
+    (non-hour offset — would shift both the bucket boundaries and the ms
+    values without the from_utc_timestamp correction) must produce the
+    UTC-identical result. stream_sessionize shares the same shift."""
+    from slimsearch_spark.streaming.windows import stream_windowed_counts
+    rows = [(1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 11:45:00", 2, "click", 2.0, "{}"),
+            (3, "2024-01-01 20:00:00", 5, "view", 5.0, "{}")]
+    src = str(tmp_path / "tzsrc")
+    for (i, ts, u, t, v, p) in rows:
+        df = spark.createDataFrame([(i, None, u, t, v, p)], SCHEMA)
+        write_flat(df.withColumn(
+            "ts", F.expr(f"TIMESTAMP_NTZ '{ts}'")), src, f"b{i}.parquet")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        stream_windowed_counts(spark, src, SCHEMA, window="1 hour",
+                               watermark="30 minutes",
+                               checkpoint=str(tmp_path / "tzckpt"),
+                               out_path=str(tmp_path / "tzout"))
+        got = {(r["window_start_ms"], r["event_type"]):
+               (r["n_events"], r["sum_value"])
+               for r in spark.read.parquet(str(tmp_path / "tzout")).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    h10 = 1704103200000  # 2024-01-01 10:00:00 as NTZ epoch ms
+    h11 = h10 + 3600_000
+    assert got == {(h10, "click"): (1, 1.0), (h11, "click"): (1, 2.0)}

@@ -211,27 +211,115 @@ def test_wand_theta0_counts_distinct_docs(spark):
     assert len(_wand_topk(idx, "aa bb cc", 10, layout=layout)) == 10
 
 
-def test_wand_rejects_unsupported_options(spark, index):
-    """search_topk_wand raises on multi-field / non-OR / filter /
-    boostDocument instead of silently mis-scoring (round-2 ADVICE)."""
-    docs = synth_corpus(spark, 30, tokens_per_file=20)
-    cfg2 = IndexConfig(fields=["content", "lang"], id_field="path")
-    idx2 = SparkSearchIndex.build(docs, cfg2, order_cols=["repo", "path"])
-    with pytest.raises(ValueError, match="single field"):
-        idx2.search_topk_wand("the", 5)
-    # explicit single field is accepted on the multi-field index
-    got = idx2.search_topk_wand("the", 5, fields=["content"],
-                                adaptive_min_docs=0).collect()
-    want = (idx2.search_df("the", top_k=5, fields=["content"])
-            .select("doc_id", "score").collect())
-    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
-        [(r["doc_id"], round(r["score"], 9)) for r in want]
+def test_wand_rejects_unsupported_options(index):
+    """search_topk_wand raises on AND_NOT / filter / boostDocument instead
+    of silently mis-scoring (round-2 ADVICE; AND and multi-field are
+    supported since round 3)."""
     with pytest.raises(ValueError, match="combineWith"):
-        index.search_topk_wand("the", 5, combineWith="AND")
+        index.search_topk_wand("the", 5, combineWith="AND_NOT")
     with pytest.raises(ValueError, match="filter"):
         index.search_topk_wand("the", 5, filter=F.lit(True))
     with pytest.raises(ValueError, match="boostDocument"):
         index.search_topk_wand("the", 5, boostDocument=lambda *a: 1.0)
+
+
+# ------------------------------------------------------- AND + multi-field
+
+def test_wand_and_equals_full_sort_prefix(index):
+    """Conjunctive WAND == exact AND plan top-k (src/utils.ts:108-121)."""
+    for query in ["varint delta", "the parse", "varint delta merge",
+                  "spark shuffle partition"]:
+        assert _wand_topk(index, query, 10, combineWith="AND") == \
+            _full_topk(index, query, 10, combineWith="AND"), query
+
+
+def test_wand_and_various_k(index):
+    for k in (1, 3, 25, 200):
+        assert _wand_topk(index, "varint merge", k, combineWith="AND") == \
+            _full_topk(index, "varint merge", k, combineWith="AND")
+
+
+def test_wand_and_with_expansion(index):
+    """AND over prefix/fuzzy expansions: a branch matches when ANY derived
+    term of its query term matches (expansion slices share the branch)."""
+    for kw in ({"prefix": True}, {"fuzzy": 1}, {"prefix": True, "fuzzy": 0.2}):
+        assert (_wand_topk(index, "varint merg", 10, combineWith="AND", **kw)
+                == _full_topk(index, "varint merg", 10,
+                              combineWith="AND", **kw)), kw
+
+
+def test_wand_and_no_intersection(spark):
+    """Disjoint posting lists → empty AND result, and the cell-level
+    intersection skips every block without decoding (doc counts are
+    multiples of block_doc_range so the terms share no boundary cell)."""
+    a = [("r", f"a/{i:03d}.py", "c", "py", "aaa " + f"x{i}")
+         for i in range(64)]
+    b = [("r", f"b/{i:03d}.py", "c", "py", "bbb " + f"y{i}")
+         for i in range(64)]
+    docs = spark.createDataFrame(a + b,
+                                 "repo string, path string, commit string, "
+                                 "lang string, content string")
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    metrics = {}
+    got = idx.search_topk_wand("aaa bbb", 5, combineWith="AND",
+                               metrics=metrics,
+                               layout=IndexLayout(block_doc_range=8)).collect()
+    assert got == []
+    assert metrics["blocks_total"].value > 0
+    assert metrics["blocks_decoded"].value == 0
+
+
+def test_wand_and_physically_skips_blocks(spark):
+    """AND pruning evidence: one rare term intersected with a hot term —
+    hot-term blocks in cells the rare term doesn't cover never decode."""
+    filler = [("r", f"f/{i:05d}.py", "c", "py",
+               "the " + " ".join(f"junk{i}tok{j}" for j in range(30)))
+              for i in range(2000)]
+    special = [("r", f"s/{i}.py", "c", "py", "the rareterm " + "the " * 20)
+               for i in range(5)]
+    docs = spark.createDataFrame(filler + special,
+                                 "repo string, path string, commit string, "
+                                 "lang string, content string")
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    metrics = {}
+    got = idx.search_topk_wand("the rareterm", 5, combineWith="AND",
+                               metrics=metrics,
+                               layout=IndexLayout(block_doc_range=64)).collect()
+    want = (idx.search_df("the rareterm", top_k=5, combineWith="AND")
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    total = metrics["blocks_total"].value
+    decoded = metrics["blocks_decoded"].value
+    assert total > 20
+    # only cells containing rareterm docs survive the intersection
+    assert decoded <= total // 4, (decoded, total)
+
+
+@pytest.fixture(scope="module")
+def index_mf(spark):
+    docs = synth_corpus(spark, 800, tokens_per_file=60).cache()
+    cfg = IndexConfig(fields=["content", "lang"], id_field="path")
+    return SparkSearchIndex.build(docs, cfg, order_cols=["repo", "path"])
+
+
+def test_wand_multifield_equals_full(index_mf):
+    """Multi-field WAND: per-(term, field) df/idf, per-field avg length and
+    boost (src/results.ts:170-189) — identical to the exact plan."""
+    for kw in ({}, {"boost": {"lang": 3.0}},
+               {"fields": ["content"]}, {"combineWith": "AND"}):
+        assert _wand_topk(index_mf, "the py", 10, **kw) == \
+            _full_topk(index_mf, "the py", 10, **kw), kw
+
+
+def test_wand_multifield_single_field_subset(index_mf):
+    """Explicit single-field subset on a multi-field index still works."""
+    got = index_mf.search_topk_wand("the", 5, fields=["content"],
+                                    adaptive_min_docs=0).collect()
+    want = (index_mf.search_df("the", top_k=5, fields=["content"])
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
 
 
 def test_wand_cache_invalidated_on_mutation(spark):
