@@ -86,9 +86,40 @@ def search_options_dict(so: "SearchOptions") -> dict:
     return {k: v for k, v in out.items() if v not in (None, {}, ())}
 
 
-# Introspectable defaults (reference getDefaultValue, src/defaults.ts:75-79)
+def _default_extract_field(document, field_name: str):
+    """Reference default extractField (src/defaults.ts:10-13): plain key
+    access on the document."""
+    if isinstance(document, Mapping):
+        return document.get(field_name)
+    return getattr(document, field_name, None)
+
+
+def _default_stringify_field(value, field_name: str = "") -> str:
+    """Reference default stringifyField (src/defaults.ts:14): toString."""
+    return value if isinstance(value, str) else str(value)
+
+
+def _default_process_term(term: str) -> str:
+    """Reference default processTerm (src/defaults.ts:16): lowercase."""
+    return term.lower()
+
+
+# Introspectable defaults — the reference's defaultOptions key set
+# (src/defaults.ts:7-26, exposed via getDefaultValue src/defaults.ts:75-79)
+# plus this engine's search-option defaults as a compatibility superset.
 DEFAULT_OPTIONS: dict = {
+    # reference defaultOptions surface
     "idField": "id",
+    "extractField": _default_extract_field,
+    "stringifyField": _default_stringify_field,
+    "processTerm": _default_process_term,
+    "fields": None,
+    "searchOptions": None,
+    "storeFields": [],
+    "logger": None,  # None routes engine warnings through warnings.warn
+    "autoVacuum": True,
+    "autoSuggestOptions": {"combineWith": AND, "prefix": "last-term"},
+    # engine search-option defaults (superset, kept for introspection)
     "combineWith": OR,
     "prefix": False,
     "fuzzy": False,
@@ -96,15 +127,16 @@ DEFAULT_OPTIONS: dict = {
     "weights": dict(DEFAULT_WEIGHTS),
     "bm25": dict(DEFAULT_BM25),
     "tokenizePattern": TOKEN_SPLIT_PATTERN,
-    "storeFields": [],
-    "searchOptions": {},
-    "autoSuggestOptions": {"combineWith": AND, "prefix": "last-term"},
 }
 
 
 def get_default_value(option_name: str):
     """Introspect a default option value; unknown names throw (reference
-    src/defaults.ts:75-79)."""
+    src/defaults.ts:75-79). ``tokenize`` resolves lazily to the default
+    tokenizer callable (import-cycle-free)."""
+    if option_name == "tokenize":
+        from .functions.tokenize import tokenize_py
+        return tokenize_py
     if option_name not in DEFAULT_OPTIONS:
         raise ValueError(f"slimsearch_spark: unknown option {option_name}")
     return DEFAULT_OPTIONS[option_name]

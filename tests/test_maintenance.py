@@ -216,3 +216,17 @@ def test_index_level_search_options(spark, corpus):
          for r in idx.search("varint", boost={"content": 1.0})]
     d = [(r["id"], round(r["score"], 9)) for r in plain.search("varint")]
     assert c == d
+
+
+def test_get_default_value_reference_surface():
+    """getDefaultValue exposes the reference defaultOptions key set
+    (src/defaults.ts:7-26,75-79), incl. the default callables (round 3)."""
+    assert get_default_value("idField") == "id"
+    assert get_default_value("extractField")({"a": 1}, "a") == 1
+    assert get_default_value("extractField")({"a": 1}, "b") is None
+    assert get_default_value("stringifyField")(7, "n") == "7"
+    assert get_default_value("processTerm")("AbC") == "abc"
+    assert get_default_value("tokenize")("a b") == ["a", "b"]
+    assert get_default_value("storeFields") == []
+    assert get_default_value("autoVacuum") is True
+    assert get_default_value("fields") is None
