@@ -54,7 +54,7 @@ def main() -> None:
     idx.posting_lists().count()  # one-time compaction, cached
     compact_sec = round(time.time() - t0, 3)
 
-    def best_of(fn, n=3):
+    def best_of(fn, n=2):
         times = []
         for _ in range(n):
             t0 = time.time()
