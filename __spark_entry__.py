@@ -509,6 +509,30 @@ def q_media_features(spark, sf_dir):
                     F.round("byte_mean", 6).alias("byte_mean")))
 
 
+def q_image_resize(spark, sf_dir):
+    """Round 3: multimodal resize through mapInPandas — decoder='fake'
+    pins the deterministic cyclic-tiling fake (np.resize ==
+    substring(repeat(...))), so the Arrow plumbing is byte-verifiable
+    against SQL; a real decoder slots in at the same boundary."""
+    from slimsearch_spark.operators import multimodal as mm
+    media = mm.synth_media(_docs(spark, sf_dir))
+    return (mm.resize_images(media, 64, 64, decoder="fake")
+            .select("media_id", "width", "height",
+                    F.md5("payload").alias("payload_md5")))
+
+
+def q_frame_samples(spark, sf_dir):
+    """Round 3: frame sampling — one media row fans out to every 4th
+    fixed-rate pseudo-frame (byte slices with timestamps) through the
+    mapInPandas boundary a real demuxer would use."""
+    from slimsearch_spark.operators import multimodal as mm
+    media = mm.synth_media(_docs(spark, sf_dir))
+    return (mm.sample_frames(media, frame_bytes=64, stride=2)
+            .select("media_id", "frame_idx", "ts_ms",
+                    F.md5("frame").alias("frame_md5"),
+                    F.octet_length("frame").alias("n_bytes")))
+
+
 def q_sha256_invariant(spark, sf_dir):
     """North-rule per-row invariant: content sha256 (F.sha2 == oracle)."""
     return (_docs(spark, sf_dir)
@@ -571,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "binary_meta": q_binary_meta,
         "media_features": q_media_features,
+        "image_resize": q_image_resize,
+        "frame_samples": q_frame_samples,
         "sha256_invariant": q_sha256_invariant,
     }
 
@@ -1469,6 +1495,29 @@ SELECT doc_id AS media_id,
        round(list_avg(list_transform(string_split_regex(text, ''),
                                      x -> ascii(x))), 6) AS byte_mean
 FROM documents"""
+
+    # resize fake = cyclic byte tiling (np.resize) — ASCII corpus makes
+    # byte slices equal char slices, so repeat+substring reproduces it
+    sql["image_resize"] = """
+SELECT doc_id AS media_id, 64 AS width, 64 AS height,
+       md5(substring(repeat(text, (4096 // greatest(length(text), 1))::INT
+                                  + 1), 1, 4096)) AS payload_md5
+FROM documents"""
+
+    # fixed-rate pseudo-frames: every 4th 256-byte slice with timestamps
+    sql["frame_samples"] = """
+WITH t AS (
+  SELECT doc_id, text, octet_length(encode(text))::INT AS n FROM documents
+),
+x AS (
+  SELECT doc_id, text, n,
+         unnest(range(greatest((n + 63) // 64, 1))) AS i
+  FROM t
+)
+SELECT doc_id AS media_id, i::INT AS frame_idx, (i * 40)::INT AS ts_ms,
+       md5(substring(text, (i * 64 + 1)::INT, 64)) AS frame_md5,
+       least(64, n - i * 64)::INT AS n_bytes
+FROM x WHERE i % 2 = 0"""
 
     sql["sha256_invariant"] = \
         "SELECT doc_id, sha256(text) AS sha256 FROM documents"

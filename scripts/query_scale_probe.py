@@ -84,6 +84,8 @@ def main() -> None:
             "and_wand_win": round(and_exact_sec / and_wand_sec, 2),
             "blocks_total": metrics["blocks_total"].value,
             "blocks_decoded": metrics["blocks_decoded"].value,
+            "blocks_theta0_decoded":
+                metrics["blocks_theta0_decoded"].value,
         }
 
     print(json.dumps({

@@ -104,6 +104,92 @@ def extract_features(media: DataFrame,
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  decoder: str = "auto") -> DataFrame:
+    """media → fixed-size payloads via mapInPandas (the brief's resize op).
+
+    ``decoder='auto'``: decode→resize→re-encode with Pillow when
+    installed, else the deterministic fake. ``decoder='fake'`` pins the
+    fake: cyclic byte tiling to width×height bytes (``np.resize``
+    semantics — exactly ``substring(repeat(payload), 1, w·h)``, which is
+    how the DuckDB oracle reproduces it). The Spark-side plumbing — Arrow
+    batches, binary columns, output schema — is identical either way; a
+    real image library slots in at the decode boundary only."""
+    use_pil = decoder == "auto" and _PILImage is not None
+    n_out = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                if use_pil:
+                    import io
+                    with _PILImage.open(io.BytesIO(p)) as im:
+                        out_payload.append(
+                            im.convert("L").resize((width, height))
+                            .tobytes())
+                else:
+                    b = np.frombuffer(p, dtype=np.uint8)
+                    if b.size == 0:
+                        b = np.zeros(1, dtype=np.uint8)
+                    out_payload.append(np.resize(b, n_out).tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+                "payload": out_payload,
+            })
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256,
+                  frame_ms: int = 40, stride: int = 1) -> DataFrame:
+    """Fan out each media payload into sampled pseudo-frames (the brief's
+    frame-sample op): a deterministic fixed-rate codec fake — frame i is
+    the byte slice [i·frame_bytes, (i+1)·frame_bytes) at timestamp
+    i·frame_ms — emitting every ``stride``-th frame. One input row yields
+    many output rows through the same mapInPandas boundary a real ffmpeg
+    demuxer would use; the fake keeps it byte-deterministic so the DuckDB
+    oracle can verify the fan-out exactly."""
+    fb, fm, st = int(frame_bytes), int(frame_ms), int(stride)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, idx, ts, frames = [], [], [], []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                n = max(1, -(-len(p) // fb))
+                for i in range(0, n, st):
+                    mid.append(m)
+                    idx.append(i)
+                    ts.append(i * fm)
+                    frames.append(p[i * fb:(i + 1) * fb])
+            yield pd.DataFrame({
+                "media_id": pd.Series(mid, dtype="int64"),
+                "frame_idx": pd.Series(idx, dtype="int32"),
+                "ts_ms": pd.Series(ts, dtype="int32"),
+                "frame": frames,
+            })
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synth_media(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Build a MEDIA_SCHEMA table from a text corpus (payload = utf-8 bytes)

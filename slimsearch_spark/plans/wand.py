@@ -531,12 +531,16 @@ def wand_topk(posting_lists: DataFrame,
     n_grid = max_doc_id // layout.block_doc_range + 1
     blocks_per_shard = max(1, math.ceil(n_grid / n_shards))
 
-    acc_total = acc_decoded = None
+    acc_total = acc_decoded = acc_theta0 = None
     if metrics is not None:
         acc_total = spark.sparkContext.accumulator(0)
         acc_decoded = spark.sparkContext.accumulator(0)
+        acc_theta0 = spark.sparkContext.accumulator(0)
         metrics["blocks_total"] = acc_total
+        # shard-stage decodes only (invariant: ≤ blocks_total); the OR θ0
+        # pre-pass's bounded per-term probe decodes are reported separately
         metrics["blocks_decoded"] = acc_decoded
+        metrics["blocks_theta0_decoded"] = acc_theta0
 
     theta0 = 0.0
     if combine_with == "or":
@@ -549,7 +553,7 @@ def wand_topk(posting_lists: DataFrame,
         top = (matched
                .mapInPandas(_theta0_stage(exp_by_term, doc_count,
                                           avg_by_fid, fboost,
-                                          bm25, k_top, acc_decoded),
+                                          bm25, k_top, acc_theta0),
                             T.StructType([
                                 T.StructField("doc_id", T.LongType()),
                                 T.StructField("s", T.DoubleType())]))

@@ -86,3 +86,49 @@ def test_decode_image_optional_dependency():
     assert px.shape == (3, 4, 3) and px.dtype == np.uint8
     feat = mm.image_feature(buf.getvalue(), dim=8)
     assert feat.shape == (8,) and feat.dtype == np.float32
+
+
+def test_resize_images_fake_deterministic(spark):
+    """resize plumbing: fixed-size outputs, cyclic-tiling fake semantics
+    (np.resize), deterministic across runs."""
+    import numpy as np
+    from slimsearch_spark.operators import multimodal as mm
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "x" * 5000)], "doc_id long, text string")
+    media = mm.synth_media(docs)
+    out = {r["media_id"]: r for r in
+           mm.resize_images(media, 8, 4, decoder="fake").collect()}
+    assert all(len(r["payload"]) == 32 and r["width"] == 8
+               and r["height"] == 4 for r in out.values())
+    # cyclic tiling: "abc" repeats; long payload truncates
+    assert bytes(out[0]["payload"]) == (b"abc" * 11)[:32]
+    assert bytes(out[1]["payload"]) == b"x" * 32
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             mm.resize_images(media, 8, 4, decoder="fake").collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in out.items()}
+
+
+def test_sample_frames_fan_out(spark):
+    """frame sampling fans one media row into stride-sampled byte frames
+    with fixed-rate timestamps; tail frame is short, empty payload yields
+    one empty frame."""
+    from slimsearch_spark.operators import multimodal as mm
+    docs = spark.createDataFrame(
+        [(0, "a" * 1000), (1, "b" * 256), (2, "")],
+        "doc_id long, text string")
+    media = mm.synth_media(docs)
+    rows = mm.sample_frames(media, frame_bytes=256, frame_ms=40,
+                            stride=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 1000 bytes → 4 frames → sampled idx 0, 2
+    f0 = sorted(by_media[0], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["ts_ms"], len(r["frame"])) for r in f0] == \
+        [(0, 0, 256), (2, 80, 256)]
+    # exactly one full frame
+    assert [(r["frame_idx"], len(r["frame"])) for r in by_media[1]] == \
+        [(0, 256)]
+    # empty payload → one empty frame (media always represented)
+    assert [(r["frame_idx"], len(r["frame"])) for r in by_media[2]] == \
+        [(0, 0)]
