@@ -336,10 +336,14 @@ def test_wand_cache_invalidated_on_mutation(spark):
 
 
 def test_wand_over_saved_index(spark, index, tmp_path):
-    """Save → load → WAND serves from the persisted posting_lists table."""
+    """Save → load → WAND serves from the persisted posting_lists table,
+    for both combinators (round 3: AND shares the saved layout)."""
     path = str(tmp_path / "widx")
     save_index(index, path)
     loaded = load_index(spark, path)
     assert loaded._posting_lists is not None
     assert _wand_topk(loaded, "varint delta merge", 10) == \
         _full_topk(index, "varint delta merge", 10)
+    assert _wand_topk(loaded, "varint delta merge", 10,
+                      combineWith="AND") == \
+        _full_topk(index, "varint delta merge", 10, combineWith="AND")
