@@ -215,6 +215,16 @@ def q_wand_topk_multifield(spark, sf_dir):
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
+def q_wand_and_not_topk(spark, sf_dir):
+    """Round 3: AND_NOT WAND top-10 ('spark' minus 'join') — negative
+    posting lists decode only inside surviving positive cells; identical
+    to the exact anti-join plan's top-10."""
+    idx = _index(spark, sf_dir)
+    return (idx.search_topk_wand("spark join", 10, combineWith="AND_NOT",
+                                 adaptive_min_docs=0)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_autosuggest_custom_defaults(spark, sf_dir):
     """Round 3: index-level auto_suggest_options (reference
     SearchIndex.ts:161-163) — fuzzy set once at createIndex applies to
@@ -553,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "wand_topk_adaptive": q_wand_topk_adaptive,
         "wand_and_topk": q_wand_and_topk,
+        "wand_and_not_topk": q_wand_and_not_topk,
         "wand_topk_multifield": q_wand_topk_multifield,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
@@ -712,6 +723,11 @@ SELECT doc_id, round(sum(s), 6) AS score
 FROM scored
 WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')
 GROUP BY doc_id"""
+
+    # AND_NOT WAND: pruned-but-exact → same scoring, top-10 (round 3)
+    sql["wand_and_not_topk"] = sql["bm25_and_not"] + """
+ORDER BY sum(s) DESC, doc_id
+LIMIT 10"""
 
     # query tree OR( AND(spark, join), merge ): per-branch combinators,
     # quality = distinct matched query terms across surviving branches

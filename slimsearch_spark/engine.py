@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .config import (AND, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
+from .config import (AND, AND_NOT, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
                      DEFAULT_DOC_BOOST_COLLECT_THRESHOLD,
                      DEFAULT_EXPANSION_COLLECT_THRESHOLD, DEFAULT_MAX_FUZZY,
                      DEFAULT_WEIGHTS, OR, WILDCARD, IndexConfig)
@@ -578,26 +578,28 @@ class SparkSearchIndex:
         """Top-k search over the compacted index with distributed block-max
         WAND pruning (plans/wand.py).
 
-        Contract: flat string queries (OR or AND, any field subset, field
-        boosts) over a compacted, tombstone-free index; ``filter``,
-        ``boostDocument`` and AND_NOT are not supported on this path (use
-        ``search_df(top_k=k)``). Within that contract, scores are identical
-        to ``search_df`` and only provably sub-threshold docs are skipped:
-        OR runs disjunctive block-max WAND, AND runs posting-list
-        intersection at grid-cell granularity with block skip (reference
-        AND semantics, src/utils.ts:108-121; multi-field loop,
-        src/results.ts:170-189). Unsupported options raise instead of
-        silently returning wrong results."""
+        Contract: flat string queries (OR / AND / AND_NOT, any field
+        subset, field boosts) over a compacted, tombstone-free index;
+        ``filter`` and ``boostDocument`` are not supported on this path
+        (use ``search_df(top_k=k)``). Within that contract, scores are
+        identical to ``search_df`` and only provably sub-threshold docs
+        are skipped: OR runs disjunctive block-max WAND, AND runs
+        posting-list intersection at grid-cell granularity with block
+        skip (reference AND semantics, src/utils.ts:108-121; multi-field
+        loop, src/results.ts:170-189), AND_NOT subtracts the negative
+        lists inside surviving positive cells only (src/utils.ts:129-133).
+        Unsupported options raise instead of silently returning wrong
+        results."""
         from .plans.wand import wand_topk
         if self.has_tombstones():
             raise ValueError("WAND path requires a vacuumed index "
                              "(run vacuum() first)")
         opts = {**self._search_options, **options}
         cw = str(opts.get("combineWith", OR)).lower()
-        if cw not in (OR, AND):
+        if cw not in (OR, AND, AND_NOT):
             raise ValueError(
-                f"search_topk_wand supports combineWith=OR/AND (got {cw}); "
-                "use search_df for AND_NOT")
+                f"search_topk_wand supports combineWith=OR/AND/AND_NOT "
+                f"(got {cw}); use search_df(top_k=k)")
         for unsupported in ("filter", "boostDocument"):
             if opts.get(unsupported) is not None:
                 raise ValueError(

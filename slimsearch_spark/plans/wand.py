@@ -467,6 +467,92 @@ def _shard_stage_and(k_top: int, n_branches: int, n_query_terms: int,
     return score_shard
 
 
+def _shard_stage_and_not(k_top: int, first_branch: int,
+                         bm25: Mapping[str, float],
+                         acc_blocks_total=None, acc_blocks_decoded=None,
+                         chunk_cells: int = 64):
+    """applyInPandas fn: per-shard AND_NOT top-k (reference
+    src/utils.ts:129-133: docs of the FIRST branch minus docs present in
+    any other branch; the surviving docs keep the first branch's score —
+    quality is 1 because exactly one query term matched).
+
+    Pruning: candidate cells are the positive branch's cells only;
+    negative slices decode exclusively in cells the positive branch is
+    still considering (a negative block in a cell with no surviving
+    positive candidate never decodes), and the progressive θ from the
+    running top-k stops the scan like the AND kernel."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        slices = [s for s in (_slice_of_row(r) for _, r in pdf.iterrows())
+                  if s["n"]]
+        if not slices:
+            return _empty_topk()
+        if acc_blocks_total is not None:
+            acc_blocks_total.add(int(sum(s["bn"].size for s in slices)))
+        pos = [s for s in slices if s["branch"] == first_branch]
+        neg = [s for s in slices if s["branch"] != first_branch]
+        if not pos:
+            return _empty_topk()
+
+        cells = set()
+        for s in pos:
+            cells.update(s["g"].tolist())
+        cell_arr = np.asarray(sorted(cells), dtype=np.int64)
+        cell_ub = np.zeros(cell_arr.size, dtype=np.float64)
+        for s in pos:
+            s["ub"] = _ub_block(s["bmax"], s["idf"], s["wmult"], bm25)
+            p = np.searchsorted(cell_arr, s["g"])
+            np.add.at(cell_ub, p, s["ub"])  # pos cells ⊇ slice cells
+
+        order = np.argsort(-cell_ub, kind="stable")
+        theta = 0.0
+        best = _empty_topk()
+        pos0 = 0
+        while pos0 < order.size:
+            if best.shape[0] >= k_top and cell_ub[order[pos0]] < theta:
+                break
+            chunk = cell_arr[order[pos0:pos0 + chunk_cells]]
+            pos0 += chunk_cells
+            doc_parts, score_parts, qt_parts = [], [], []
+            for s in pos:
+                need = np.nonzero(np.isin(s["g"], chunk))[0]
+                if not need.size:
+                    continue
+                d, t, fl = _fetch_blocks(s, need, acc_blocks_decoded)
+                d = d.astype(np.int64)
+                doc_parts.append(d)
+                score_parts.append(_score_exact(
+                    t, fl, s["idf"], s["wmult"], s["avg_len"], bm25))
+                qt_parts.append(np.full(d.size, s["qt"], dtype=object))
+            if not doc_parts:
+                continue
+            # exclusion set: negative docs in THIS chunk's cells only
+            excl_parts = []
+            for s in neg:
+                need = np.nonzero(np.isin(s["g"], chunk))[0]
+                if not need.size:
+                    continue
+                d, _, _ = _fetch_blocks(s, need, acc_blocks_decoded)
+                excl_parts.append(d.astype(np.int64))
+            agg = _agg_chunk(doc_parts, score_parts, qt_parts)
+            # quality is exactly 1 (single positive query term) — undo the
+            # nunique multiplier _agg_chunk applies for the general case
+            # (it is 1 here anyway: every pos slice shares one qt)
+            if excl_parts:
+                excl = np.unique(np.concatenate(excl_parts))
+                agg = agg[~agg["doc_id"].isin(excl)]
+            if agg.empty:
+                continue
+            best = (pd.concat([best, agg])
+                    .sort_values(["score", "doc_id"],
+                                 ascending=[False, True]).head(k_top))
+            if best.shape[0] >= k_top:
+                theta = float(best["score"].iloc[-1])
+        return best
+
+    return score_shard
+
+
 def wand_topk(posting_lists: DataFrame,
               expansion_rows: Sequence[tuple],
               k_top: int,
@@ -483,10 +569,12 @@ def wand_topk(posting_lists: DataFrame,
     """Top-k BM25 query over compacted posting lists with block-max
     pruning. ``expansion_rows``: (branch, query_term, derived_term, rank,
     weight, term_boost) as produced by the engine's expansion planner.
-    ``combine_with``: 'or' (disjunctive WAND) or 'and' (conjunctive —
+    ``combine_with``: 'or' (disjunctive WAND), 'and' (conjunctive —
     posting-list intersection with block skip, reference AND semantics
-    src/utils.ts:108-121). ``field_ids``/``field_boost_by_id``: the
-    searched fields and their boosts (src/results.ts:181-189).
+    src/utils.ts:108-121), or 'and_not' (first term minus the rest,
+    src/utils.ts:129-133 — negative lists decode only in surviving
+    positive cells). ``field_ids``/``field_boost_by_id``: the searched
+    fields and their boosts (src/results.ts:181-189).
 
     Returns DataFrame(doc_id, score) — the global top-k, reference-identical
     scores (quality multiplier included).
@@ -498,8 +586,9 @@ def wand_topk(posting_lists: DataFrame,
     layout = layout or IndexLayout()
     bm25 = dict(DEFAULT_BM25, **(bm25 or {}))
     combine_with = combine_with.lower()
-    if combine_with not in ("or", "and"):
-        raise ValueError(f"wand_topk supports or/and (got {combine_with})")
+    if combine_with not in ("or", "and", "and_not"):
+        raise ValueError(
+            f"wand_topk supports or/and/and_not (got {combine_with})")
     spark = posting_lists.sparkSession
 
     exp_by_term: Expansions = {}
@@ -571,6 +660,9 @@ def wand_topk(posting_lists: DataFrame,
     if combine_with == "and":
         stage = _shard_stage_and(k_top, len(branches), len(query_terms),
                                  bm25, acc_total, acc_decoded)
+    elif combine_with == "and_not":
+        stage = _shard_stage_and_not(k_top, min(branches), bm25,
+                                     acc_total, acc_decoded)
     else:
         stage = _shard_stage_or(k_top, len(query_terms), bm25,
                                 layout.block_doc_range, theta0,

@@ -212,11 +212,11 @@ def test_wand_theta0_counts_distinct_docs(spark):
 
 
 def test_wand_rejects_unsupported_options(index):
-    """search_topk_wand raises on AND_NOT / filter / boostDocument instead
-    of silently mis-scoring (round-2 ADVICE; AND and multi-field are
-    supported since round 3)."""
+    """search_topk_wand raises on unknown combinators / filter /
+    boostDocument instead of silently mis-scoring (round-2 ADVICE; AND,
+    AND_NOT and multi-field are supported since round 3)."""
     with pytest.raises(ValueError, match="combineWith"):
-        index.search_topk_wand("the", 5, combineWith="AND_NOT")
+        index.search_topk_wand("the", 5, combineWith="XOR")
     with pytest.raises(ValueError, match="filter"):
         index.search_topk_wand("the", 5, filter=F.lit(True))
     with pytest.raises(ValueError, match="boostDocument"):
@@ -294,6 +294,31 @@ def test_wand_and_physically_skips_blocks(spark):
     assert total > 20
     # only cells containing rareterm docs survive the intersection
     assert decoded <= total // 4, (decoded, total)
+
+
+def test_wand_and_not_equals_full(index):
+    """AND_NOT WAND == exact plan: first term's docs minus the rest
+    (src/utils.ts:129-133), first-branch scores, quality 1."""
+    for query in ["varint delta", "the parse", "varint delta merge",
+                  "varint"]:  # single term: nothing to subtract
+        assert _wand_topk(index, query, 10, combineWith="AND_NOT") == \
+            _full_topk(index, query, 10, combineWith="AND_NOT"), query
+
+
+def test_wand_and_not_with_expansion(index):
+    """Negative branches exclude via ALL their derived (prefix/fuzzy)
+    terms, same as the exact anti-join."""
+    for kw in ({"prefix": True}, {"fuzzy": 1}):
+        assert (_wand_topk(index, "varint merg", 10,
+                           combineWith="AND_NOT", **kw)
+                == _full_topk(index, "varint merg", 10,
+                              combineWith="AND_NOT", **kw)), kw
+
+
+def test_wand_and_not_various_k(index):
+    for k in (1, 3, 25, 200):
+        assert _wand_topk(index, "the varint", k, combineWith="AND_NOT") \
+            == _full_topk(index, "the varint", k, combineWith="AND_NOT")
 
 
 @pytest.fixture(scope="module")
