@@ -86,7 +86,7 @@ def main() -> None:
 
     bench_queries = [
         "bm25_topk", "wand_topk", "wand_topk_adaptive", "wand_and_topk",
-        "wand_topk_multifield", "bm25_and",
+        "wand_and_not_topk", "wand_topk_multifield", "bm25_and",
         "bm25_and_not", "prefix_search", "prefix_search_wide",
         "fuzzy_search", "autosuggest", "search_filtered",
         "search_doc_boosted", "custom_process_term",

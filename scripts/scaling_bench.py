@@ -40,8 +40,9 @@ docs.count()  # materialize input outside the timed section
 cfg = IndexConfig(fields=["content"], id_field="path",
                   store_fields=["repo", "lang"])
 t0 = time.time()
-idx = SparkSearchIndex.build(docs, cfg, order_cols=["repo", "path"],
-                             cache=False)
+# cache=True = the production build path (eager one-pass materialization
+# of postings + doc_stats from a persisted tokenized corpus)
+idx = SparkSearchIndex.build(docs, cfg, order_cols=["repo", "path"])
 idx.postings.count()
 idx.doc_stats.count()
 dt = time.time() - t0
@@ -66,7 +67,17 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     tpf = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # optional idle cooldown (s) before EACH run: this box's cgroup burst
+    # credits drain during the first run and make whichever job runs
+    # second measure 3-4x slower (BASELINE.md round-2 confounder) —
+    # ≥240 s of idle refills them
+    cooldown = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    import time
+    if cooldown:
+        time.sleep(cooldown)
     rn = run(n, n_files, tpf)
+    if cooldown:
+        time.sleep(cooldown)
     r4n = run(4 * n, n_files, tpf)
     efficiency = (r4n["files_per_sec"] / rn["files_per_sec"]) / 4.0
     print(json.dumps({

@@ -93,19 +93,39 @@ class SparkSearchIndex:
     def build(cls, docs_df: DataFrame, config: IndexConfig,
               order_cols: Optional[Sequence[str]] = None,
               cache: bool = True) -> "SparkSearchIndex":
-        """One-pass batch build (the Spark-native addAll, SURVEY.md §3.1)."""
+        """One-pass batch build (the Spark-native addAll, SURVEY.md §3.1).
+
+        With ``cache=True`` (default) the build is EAGER and truly
+        one-pass: the tokenized corpus is persisted (memory-and-disk,
+        spill-safe), postings and doc_stats materialize their caches from
+        it, and the intermediate is dropped before returning. The lazy
+        alternative tokenized the corpus three times — once for the
+        corpus-stats aggregation and once per table cache fill — which
+        dominated measured build time (~2x the tokenise work for free).
+        ``cache=False`` keeps everything lazy for callers that manage
+        their own materialization."""
         spark = docs_df.sparkSession
         if "doc_id" not in docs_df.columns:
             if order_cols is None:
                 order_cols = [config.id_field]
             docs_df = assign_doc_ids(docs_df, order_cols)
         tokenized = tokenize_fields(docs_df, config)
+        if cache:
+            from pyspark import StorageLevel
+            tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
         postings = build_postings(tokenized)
         doc_stats = build_doc_stats(tokenized)
-        avg_len, _ = corpus_stats(doc_stats)
         keep = ["doc_id", config.id_field] + [f for f in config.store_fields
                                               if f in docs_df.columns]
         docs = docs_df.select(*dict.fromkeys(keep))
+        if cache:
+            postings = postings.cache()
+            doc_stats = doc_stats.cache()
+            postings.count()                   # fills both caches from the
+            avg_len, _ = corpus_stats(doc_stats)  # single tokenized pass
+            tokenized.unpersist()
+        else:
+            avg_len, _ = corpus_stats(doc_stats)
         doc_count = docs.count()
         return cls(spark, config, postings, doc_stats, docs,
                    doc_count, avg_len, next_id=doc_count, cache=cache)
