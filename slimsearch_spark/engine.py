@@ -628,13 +628,17 @@ class SparkSearchIndex:
         fields = opts.get("fields") or list(self.config.fields)
         field_ids = [self.field_ids[f] for f in fields]
         if (posting_lists is None and metrics is None
-                and self.doc_count < adaptive_min_docs):
-            # adaptive skip: below the crossover, the θ0 pre-pass + route/
-            # shard stages cost more than they prune (measured in
-            # BASELINE.md §WAND crossover) — the exact single-plan top-k is
-            # result-identical by contract and faster. Callers probing the
-            # pruning machinery (metrics=) or serving saved compacted lists
-            # always get the real WAND path.
+                and self.doc_count < adaptive_min_docs
+                and getattr(self, "_posting_lists", None) is None):
+            # adaptive skip: below the crossover, building the compacted
+            # lists + the θ0/route/shard stages cost more than they prune
+            # (BASELINE.md §WAND crossover) — the exact single-plan top-k
+            # is result-identical by contract and faster. The skip applies
+            # ONLY while no compacted lists exist yet: once compaction is
+            # cached (or the index was loaded from a save), the pruned
+            # path wins at every measured size (round-3 bench: AND WAND
+            # 0.98 s vs exact 1.34 s even at 5k docs). Callers probing the
+            # pruning machinery (metrics=) always get the real WAND path.
             return (self.search_df(query, top_k=k, **options)
                     .select("doc_id", "score"))
         boost = opts.get("boost") or {}
