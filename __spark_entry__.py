@@ -400,6 +400,12 @@ def q_lang_id(spark, sf_dir):
     return ts.lang_id(_docs(spark, sf_dir))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-trigram-profile language ID (round 3) — the brief's n-gram
+    heuristic proper; pure replace() arithmetic, zero Python."""
+    return ts.lang_id_ngram(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: token counts, TTR, mean token length, gate."""
     return ts.text_quality(_docs(spark, sf_dir))
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
@@ -1312,6 +1319,22 @@ SELECT doc_id,
                  greatest(length(terms), 1) > 0.05
             THEN 'en' ELSE 'unknown' END AS predicted_lang
 FROM t"""
+
+    # IDENTICAL score expression strings as the Spark operator (built by
+    # the same helper) — structurally identical arithmetic cross-engine
+    ngram_scores = ts.lang_ngram_score_sql("text")
+    ngram_pred = (f"CASE WHEN ({ngram_scores['en']}) >= ({ngram_scores['de']}) "
+                  f"AND ({ngram_scores['en']}) >= ({ngram_scores['fr']}) "
+                  f"THEN 'en' "
+                  f"WHEN ({ngram_scores['de']}) >= ({ngram_scores['fr']}) "
+                  f"THEN 'de' ELSE 'fr' END")
+    sql["lang_id_ngram"] = f"""
+SELECT doc_id,
+       round({ngram_scores['en']}, 6) AS en_score,
+       round({ngram_scores['de']}, 6) AS de_score,
+       round({ngram_scores['fr']}, 6) AS fr_score,
+       {ngram_pred} AS predicted_lang
+FROM documents"""
 
     sql["text_quality"] = r"""
 WITH t AS (

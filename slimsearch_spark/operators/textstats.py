@@ -80,3 +80,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(terms, " ")).alias("fp"))
+
+
+# character-trigram profiles (public linguistics: highest-frequency char
+# trigrams per language) for the n-gram language-ID variant
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", "ing", " an", "and", "ion", " of"],
+    "de": ["der", "ein", "sch", "ich", "die", "und", "che", "ung"],
+    "fr": [" de", "de ", "es ", "ent", "le ", "que", " le", "les"],
+}
+
+
+def lang_ngram_score_sql(text_sql: str) -> dict:
+    """Per-language trigram-profile score as ONE SQL string each:
+    occurrences of each profile trigram counted via
+    (length - length(replace(...))) / 3 — no explode, no UDF, pure
+    whole-stage codegen — normalized by the trigram count. The SAME
+    strings parse in DuckDB, so the arithmetic is structurally identical
+    cross-engine (bit-identical IEEE evaluation order)."""
+    t = f"lower({text_sql})"
+    out = {}
+    for lang, probes in TRIGRAM_PROFILES.items():
+        hits = " + ".join(
+            f"(length({t}) - length(replace({t}, '{p}', ''))) / 3"
+            for p in probes)
+        out[lang] = (f"(({hits}) / greatest(length({t}) - 2, 1))")
+    return out
+
+
+def lang_id_ngram(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, en_score, de_score, fr_score, predicted_lang): char-
+    trigram-profile language ID (the brief's "n-gram heuristic" proper —
+    the stopword-ratio variant is ``lang_id``). Deterministic argmax with
+    fixed en→de→fr tie order."""
+    scores = lang_ngram_score_sql(text_col)
+    pred = (f"CASE WHEN ({scores['en']}) >= ({scores['de']}) "
+            f"AND ({scores['en']}) >= ({scores['fr']}) THEN 'en' "
+            f"WHEN ({scores['de']}) >= ({scores['fr']}) THEN 'de' "
+            f"ELSE 'fr' END")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(F.expr(scores["en"]), 6).alias("en_score"),
+        F.round(F.expr(scores["de"]), 6).alias("de_score"),
+        F.round(F.expr(scores["fr"]), 6).alias("fr_score"),
+        F.expr(pred).alias("predicted_lang"))
