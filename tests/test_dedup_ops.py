@@ -234,3 +234,18 @@ def test_lsh_topk_subset_of_bucket(vectors):
         assert exact[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
     # the near-identical vector shares every hyperplane side → always found
     assert lsh[0]["vec_id"] == 1
+
+
+def test_lang_id_ngram_classifies_real_snippets(spark):
+    """Trigram-profile language ID picks the right language on natural
+    snippets of each profile language (the oracle gate proves cross-engine
+    equality; this proves the heuristic is meaningful)."""
+    from slimsearch_spark.operators.textstats import lang_id_ngram
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox jumping over the lazy dog and the cat"),
+        (1, "der schnelle braune fuchs und die katze sind schon da"),
+        (2, "le renard brun rapide et les chats de la maison que nous"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in lang_id_ngram(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}
