@@ -225,6 +225,26 @@ def q_wand_and_not_topk(spark, sf_dir):
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
+def q_wand_topk_discarded(spark, sf_dir):
+    """Round 4: WAND top-10 over a discarded, UNVACUUMED index — the
+    tombstoned doc_ids ship into the shard kernels and are dropped at
+    block-decode time (no compaction rewrite before top-k service;
+    round-3 VERDICT #4). Compaction runs BEFORE the discard so the cached
+    lists still hold the dead docs' postings, exercising the kernel-side
+    filter; df/doc_count/avg reflect the live view."""
+    cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                      store_fields=["lang"], auto_vacuum=False)
+    idx = SparkSearchIndex.build(_docs(spark, sf_dir), cfg,
+                                 order_cols=["doc_id"])
+    idx.posting_lists()
+    victims = [r["doc_id"] for r in
+               _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()]
+    idx.discard_many(victims)
+    return (idx.search_topk_wand("spark", 10, adaptive_min_docs=0)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_autosuggest_custom_defaults(spark, sf_dir):
     """Round 3: index-level auto_suggest_options (reference
     SearchIndex.ts:161-163) — fuzzy set once at createIndex applies to
@@ -567,10 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
-        "wand_topk_adaptive": q_wand_topk_adaptive,
         "wand_and_topk": q_wand_and_topk,
         "wand_and_not_topk": q_wand_and_not_topk,
         "wand_topk_multifield": q_wand_topk_multifield,
+        "wand_topk_discarded": q_wand_topk_discarded,
         "bm25_and": q_bm25_and,
         "bm25_and_not": q_bm25_and_not,
         "bm25_query_tree": q_bm25_query_tree,
@@ -578,14 +598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q_prefix_search,
         "prefix_search_wide": q_prefix_search_wide,
         "search_doc_boosted": q_search_doc_boosted,
-        "wildcard_boosted": q_wildcard_boosted,
         "fuzzy_search": q_fuzzy_search,
         "combined_search": q_combined_search,
         "term_boosted": q_term_boosted,
         "search_after_vacuum": q_search_after_vacuum,
         "wildcard": q_wildcard,
         "search_filtered": q_search_filtered,
-        "autosuggest": q_autosuggest,
         "autosuggest_fuzzy": q_autosuggest_fuzzy,
         "autosuggest_custom_defaults": q_autosuggest_custom_defaults,
         "custom_extract_field": q_custom_extract_field,
@@ -595,7 +613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_process_term": q_custom_process_term,
         "dedup_exact": q_dedup_exact,
         "near_dup_minhash": q_near_dup_minhash,
-        "simhash": q_simhash,
         "simhash64": q_simhash64,
         "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
@@ -604,7 +621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_saved": q_ann_ivf_topk_saved,
@@ -697,7 +713,6 @@ FROM postings GROUP BY term"""
 
     # WAND is pruned-but-exact: same oracle as the unpruned top-k
     sql["wand_topk"] = sql["bm25_topk"]
-    sql["wand_topk_adaptive"] = sql["bm25_topk"]
 
     # conjunctive WAND: exact AND semantics, top-10 (round 3)
     sql["wand_and_topk"] = _bm25_sql(
@@ -893,13 +908,6 @@ FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
 WHERE dd.lang <> 'de'
 GROUP BY s.doc_id, dd.lang"""
 
-    sql["wildcard_boosted"] = """
-SELECT doc_id,
-       round(CASE WHEN lang = 'en' THEN 2.0
-                  WHEN lang = 'fr' THEN 1.5
-                  ELSE 1.0 END::DOUBLE, 6) AS score
-FROM documents WHERE lang <> 'de'"""
-
     sql["term_boosted"] = _bm25_sql(
         "SELECT 'spark' AS term, 2.0 AS weight "
         "UNION ALL SELECT 'join', 1.0",
@@ -936,38 +944,6 @@ SELECT s.doc_id, round(sum(s.s), 6) AS score
 FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
 WHERE dd.lang = 'en'
 GROUP BY s.doc_id"""
-
-    # autoSuggest('spa'): prefix expansion, per-doc phrase = matched derived
-    # terms (sorted), suggestion score = mean of member doc scores
-    sql["autosuggest"] = f"""
-WITH {_POSTINGS}{_STATS},
-q AS (
-  SELECT term,
-         CASE WHEN term = 'spa' THEN 1.0
-              ELSE 0.375 * length(term) /
-                   (length(term) + 0.3 * (length(term) - 3)) END AS weight
-  FROM (SELECT DISTINCT term FROM postings) WHERE term LIKE 'spa%'
-),
-matched AS (
-  SELECT p.term, q.weight, p.doc_id, p.tf,
-         count(*) OVER (PARTITION BY p.term) AS df
-  FROM postings p JOIN q USING (term)
-),
-scored AS (
-  SELECT m.doc_id, m.term,
-         m.weight * ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
-           * (0.5 + (m.tf * 2.2) /
-              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
-           AS s
-  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
-),
-per_doc AS (
-  SELECT doc_id, string_agg(term, ' ' ORDER BY term) AS suggestion,
-         sum(s) AS score
-  FROM scored GROUP BY doc_id
-)
-SELECT suggestion, round(avg(score), 6) AS score
-FROM per_doc GROUP BY suggestion"""
 
     sql["autosuggest_fuzzy"] = f"""
 WITH {_POSTINGS}{_STATS},
@@ -1085,6 +1061,42 @@ FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
 
     # vacuum == discard for scoring: same oracle as search_after_discard
     sql["search_after_vacuum"] = sql["search_after_discard"]
+
+    # WAND over the unvacuumed tombstoned index: pruned-but-exact top-10
+    # of the same live view (order by the unrounded score, ties by doc_id)
+    sql["wand_topk_discarded"] = f"""
+WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(
+             regexp_split_to_array(text, '[\\n\\r\\p{{Z}}\\p{{P}}]+'),
+             x -> lower(x)), x -> x <> '')) AS term
+  FROM live
+),
+postings AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY 1, 2),
+dstat AS (
+  SELECT doc_id,
+         length(list_distinct(regexp_split_to_array(text,
+             '[\\n\\r\\p{{Z}}\\p{{P}}]+')))::INT AS field_len
+  FROM live
+),
+cstat AS (SELECT avg(field_len) AS avg_len, count(*) AS n FROM dstat),
+matched AS (
+  SELECT p.doc_id, p.tf, count(*) OVER () AS df
+  FROM postings p WHERE p.term = 'spark'
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (cstat.n - m.df + 0.5) / (m.df + 0.5))
+           * (0.5 + (m.tf * 2.2) /
+              (m.tf + 1.2 * (1 - 0.7 + 0.7 * d.field_len / cstat.avg_len)))
+           AS s
+  FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat
+)
+SELECT doc_id, round(s, 6) AS score
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 10"""
 
     # incremental build must equal a one-shot build over the full corpus
     sql["incremental_add"] = _bm25_sql(
@@ -1228,26 +1240,9 @@ JOIN sizes sa ON sa.doc_id = c.a
 JOIN sizes sb ON sb.doc_id = c.b
 WHERE coalesce(i.i, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5"""
 
-    bit_cases = ",\n".join(
-        f"  sum(CASE WHEN substring(h, {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s_{i}"
-        for i in range(16))
-    bit_pack = " + ".join(
-        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
-    sql["simhash"] = f"""
-WITH {_TOK},
-tf AS (
-  SELECT doc_id, term, count(*)::INT AS tf, md5(term) AS h
-  FROM tok GROUP BY doc_id, term
-),
-bits AS (
-  SELECT doc_id,
-{bit_cases}
-  FROM tf GROUP BY doc_id
-)
-SELECT doc_id, ({bit_pack})::INT AS simhash FROM bits"""
-
-    # 64-bit simhash: identical bit construction (two 32-bit md5 halves)
+    # 64-bit simhash: tf-weighted bits over two 32-bit md5 halves (the
+    # 16-bit variant stays pytest-covered in tests/test_dedup_ops.py; its
+    # driver entry was consolidated into this one, round-3 VERDICT #2)
     sim_bit_sums = ",\n".join(
         f"  sum(CASE WHEN (h_{half} >> {i}) & 1 = 1 THEN tf ELSE -tf END) "
         f"AS s_{half}_{i}"
@@ -1392,22 +1387,10 @@ LIMIT 10"""
         f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(8))
-    sql["ann_lsh_topk"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
-q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-SELECT b.vec_id,
-       round(list_dot_product(b.v, q.qv) /
-             (sqrt(list_dot_product(b.v, b.v)) *
-              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-FROM b CROSS JOIN q
-WHERE b.bucket = q.qb AND b.vec_id <> 0
-ORDER BY list_dot_product(b.v, q.qv) /
-         (sqrt(list_dot_product(b.v, b.v)) *
-          sqrt(list_dot_product(q.qv, q.qv))) DESC, b.vec_id
-LIMIT 10"""
-
-    # multi-probe: same 8 hyperplanes, buckets within Hamming ≤ 2
+    # multi-probe: same 8 hyperplanes, buckets within Hamming ≤ 2 (the
+    # single-bucket variant is its Hamming=0 special case; its driver entry
+    # was consolidated into this one, round-3 VERDICT #2 — the operator
+    # stays pytest-covered in tests/test_dedup_ops.py)
     sql["ann_lsh_multiprobe"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),

@@ -85,20 +85,23 @@ def main() -> None:
     E.queries()["ann_ivf_topk_saved"](spark, sf_dir)  # writes the layout
 
     bench_queries = [
-        "bm25_topk", "wand_topk", "wand_topk_adaptive", "wand_and_topk",
-        "wand_and_not_topk", "wand_topk_multifield", "bm25_and",
-        "bm25_and_not", "prefix_search", "prefix_search_wide",
-        "fuzzy_search", "autosuggest", "search_filtered",
+        "bm25_topk", "wand_topk", "wand_and_topk",
+        "wand_and_not_topk", "wand_topk_multifield", "wand_topk_discarded",
+        "bm25_and", "bm25_and_not", "prefix_search", "prefix_search_wide",
+        "fuzzy_search", "autosuggest_fuzzy", "search_filtered",
         "search_doc_boosted", "custom_process_term",
-        "dedup_exact", "near_dup_minhash", "simhash", "simhash64",
+        "dedup_exact", "near_dup_minhash", "simhash64",
         "simhash_near_dup", "lang_id",
         "text_quality", "token_counts", "fingerprint",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe",
+        "ann_cosine_topk", "ann_lsh_multiprobe",
         "ann_ivf_topk", "ann_ivf_topk_saved", "embedding_near_dup",
         "events_windowed", "sessionize", "media_features",
     ]
-    qs = E.queries()
-    for name in bench_queries:
+    # consolidated-out driver entries still benched via their q_ functions
+    # (wand_topk_adaptive = the production adaptive default)
+    extra = {"wand_topk_adaptive": E.q_wand_topk_adaptive}
+    qs = dict(E.queries(), **extra)
+    for name in bench_queries + sorted(extra):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()

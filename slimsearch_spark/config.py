@@ -195,6 +195,7 @@ class IndexLayout:
     """Physical layout knobs for the materialized index (scale path)."""
 
     n_term_buckets: int = 64          # salted xxhash64(term) shuffle width
+    n_doc_buckets: int = 64           # saved docs row-store partition width
     block_doc_range: int = 512        # doc-id grid span per compressed block
     hot_term_salts: int = 16          # salt fan-out for stopword-like hot terms
     hot_term_df_threshold: int = 100_000  # df above which a term is "hot"

@@ -98,7 +98,8 @@ def varint_len(values: np.ndarray) -> np.ndarray:
 
 
 def encode_blocked_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
-                                fls: np.ndarray, block_doc_range: int) -> dict:
+                                fls: np.ndarray, block_doc_range: int,
+                                impact_params=None) -> dict:
     """Blocked, block-addressable posting list.
 
     Blocks are aligned to the absolute doc-id grid (``block = doc_id //
@@ -111,10 +112,22 @@ def encode_blocked_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
     with doc_stats at query time (the norms live with the postings, like
     Lucene's per-field norms).
 
+    Block-max metadata, from loosest to tightest:
+    * ``block_max_tf`` — max tf per block (varint); the round-1 bound.
+    * ``block_min_fl`` — min field length per block (varint); pairs with
+      max_tf into a parameter-FREE bound max_tf/(max_tf + k(1-b+b·min_fl/
+      avg)) that is valid for any query-time (k, b, avg) and exact on
+      uniform-length corpora (where the fl→0 bound was hopelessly loose).
+    * ``block_impact`` — the classic block-max float impact (float64 LE
+      bytes): max over the block of tf/(tf + k(1-b+b·fl/avg_fl)) computed
+      with the encode-time ``impact_params=(k, b, avg_len)``; only valid
+      when the query's params equal the encode params (the caller checks).
+
     Returns dict with: doc_blob, tf_blob, fl_blob, block_g (varint deltas of
     block grid ids), block_n (varint docs per block), doc_off/tf_off/fl_off
-    (varint absolute byte offsets of each block), block_max_tf (varint),
-    n (total postings), n_blocks, max_tf.
+    (varint absolute byte offsets of each block), block_max_tf, block_min_fl
+    (varint), block_impact (float64 bytes or b""), n (total postings),
+    n_blocks, max_tf.
     """
     order = np.argsort(doc_ids, kind="stable")
     d = doc_ids[order].astype(np.uint64)
@@ -126,12 +139,22 @@ def encode_blocked_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
         return {"doc_blob": empty, "tf_blob": empty, "fl_blob": empty,
                 "block_g": empty, "block_n": empty, "doc_off": empty,
                 "tf_off": empty, "fl_off": empty, "block_max_tf": empty,
+                "block_min_fl": empty, "block_impact": empty,
                 "n": 0, "n_blocks": 0, "max_tf": 0}
     g = (d // np.uint64(block_doc_range)).astype(np.uint64)
     starts = np.concatenate(([0], np.nonzero(np.diff(g))[0] + 1))
     block_g = g[starts]
     block_n = np.diff(np.concatenate((starts, [n]))).astype(np.uint64)
     block_max = np.maximum.reduceat(t, starts)
+    block_min_fl = np.minimum.reduceat(f, starts)
+    block_impact = b""
+    if impact_params is not None:
+        k, b, avg_len = (float(x) for x in impact_params)
+        tf64 = t.astype(np.float64)
+        norm = tf64 + k * (1.0 - b + b * f.astype(np.float64)
+                           / max(avg_len, 1e-12))
+        block_impact = np.maximum.reduceat(tf64 / norm, starts) \
+            .astype("<f8").tobytes()
 
     vals = d.copy()
     vals[1:] -= d[:-1]
@@ -158,10 +181,52 @@ def encode_blocked_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
         "tf_off": encode_varint_array(tf_csum[starts].astype(np.uint64)),
         "fl_off": encode_varint_array(fl_csum[starts].astype(np.uint64)),
         "block_max_tf": encode_varint_array(block_max),
+        "block_min_fl": encode_varint_array(block_min_fl),
+        "block_impact": block_impact,
         "n": int(n),
         "n_blocks": int(block_g.size),
         "max_tf": int(t.max()),
     }
+
+
+def block_impact_bounds(row, k: float, b: float, avg_len: float) -> np.ndarray:
+    """Per-block upper bound of the BM25 impact tf/(tf + k(1-b+b·fl/avg))
+    for one posting-list row, choosing the tightest VALID source:
+
+    1. the stored float impact (``block_impact``), when the row carries
+       encode params (``enc_k``/``enc_b``/``enc_avg_len``) equal to the
+       query's — the classic block-max;
+    2. else the parameter-free (max_tf, min_fl) bound — monotone ↑ in tf,
+       ↓ in fl, hence ≥ every true in-block impact for ANY (k, b, avg);
+    3. else (legacy layout without ``block_min_fl``) the fl→0 bound.
+
+    ``row`` is a mapping (pandas Series / dict) over the list-row columns.
+    """
+    def _get(name):
+        try:
+            v = row[name]
+        except (KeyError, IndexError):
+            return None
+        return v
+
+    imp = _get("block_impact")
+    if imp is not None and len(imp):
+        ek, eb, ea = _get("enc_k"), _get("enc_b"), _get("enc_avg_len")
+        if (ek is not None and eb is not None and ea is not None
+                and abs(float(ek) - k) <= 1e-12
+                and abs(float(eb) - b) <= 1e-12
+                and abs(float(ea) - avg_len) <= 1e-9 * max(avg_len, 1.0)):
+            return np.frombuffer(imp, dtype="<f8")
+    m = decode_varint_array(row["block_max_tf"]).astype(np.float64)
+    min_fl = _get("block_min_fl")
+    if min_fl is not None and len(min_fl):
+        fl = decode_varint_array(min_fl).astype(np.float64)
+        norm = m + k * (1.0 - b + b * fl / max(avg_len, 1e-12))
+    else:
+        norm = m + k * (1.0 - b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(m > 0, m / norm, 0.0)
+    return out
 
 
 def decode_block_meta(row: dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray,

@@ -65,6 +65,11 @@ LIST_SCHEMA = T.StructType([
     T.StructField("tf_off", T.BinaryType()),
     T.StructField("fl_off", T.BinaryType()),
     T.StructField("block_max_tf", T.BinaryType()),
+    T.StructField("block_min_fl", T.BinaryType()),
+    T.StructField("block_impact", T.BinaryType()),
+    T.StructField("enc_k", T.DoubleType()),
+    T.StructField("enc_b", T.DoubleType()),
+    T.StructField("enc_avg_len", T.DoubleType()),
     T.StructField("n_bytes", T.IntegerType()),
 ])
 
@@ -85,7 +90,8 @@ def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def _merge_runs(block_doc_range: int):
+def _merge_runs(block_doc_range: int, bm25: Optional[dict] = None,
+                avg_by_fid: Optional[dict] = None):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("salt")
         docs_parts, tf_parts, fl_parts = [], [], []
@@ -99,10 +105,19 @@ def _merge_runs(block_doc_range: int):
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         fls = np.concatenate(fl_parts)
-        enc = encode_blocked_posting_list(docs, tfs, fls, block_doc_range)
+        fid = int(pdf["field_id"].iloc[0])
+        impact_params = None
+        enc_k = enc_b = enc_avg = None
+        if bm25 is not None and avg_by_fid is not None \
+                and fid in avg_by_fid and avg_by_fid[fid] > 0:
+            enc_k, enc_b = float(bm25["k"]), float(bm25["b"])
+            enc_avg = float(avg_by_fid[fid])
+            impact_params = (enc_k, enc_b, enc_avg)
+        enc = encode_blocked_posting_list(docs, tfs, fls, block_doc_range,
+                                          impact_params=impact_params)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
-            "field_id": [int(pdf["field_id"].iloc[0])],
+            "field_id": [fid],
             "df": [enc["n"]],
             "max_tf": [enc["max_tf"]],
             "n_blocks": [enc["n_blocks"]],
@@ -115,6 +130,11 @@ def _merge_runs(block_doc_range: int):
             "tf_off": [enc["tf_off"]],
             "fl_off": [enc["fl_off"]],
             "block_max_tf": [enc["block_max_tf"]],
+            "block_min_fl": [enc["block_min_fl"]],
+            "block_impact": [enc["block_impact"]],
+            "enc_k": [enc_k],
+            "enc_b": [enc_b],
+            "enc_avg_len": [enc_avg],
             "n_bytes": [len(enc["doc_blob"]) + len(enc["tf_blob"])
                         + len(enc["fl_blob"])],
         })
@@ -124,9 +144,19 @@ def _merge_runs(block_doc_range: int):
 def compact_posting_lists(postings: DataFrame,
                           layout: Optional[IndexLayout] = None,
                           max_doc_id: Optional[int] = None,
-                          doc_stats: Optional[DataFrame] = None) -> DataFrame:
+                          doc_stats: Optional[DataFrame] = None,
+                          bm25: Optional[dict] = None,
+                          avg_field_length: Optional[dict] = None
+                          ) -> DataFrame:
     """postings(term, field_id, doc_id, tf) [⋈ doc_stats for inline norms]
-    → posting_lists(term, field_id, df, max_tf, blobs..., block metadata)."""
+    → posting_lists(term, field_id, df, max_tf, blobs..., block metadata).
+
+    With ``bm25`` + ``avg_field_length`` (or derivable from ``doc_stats``),
+    each block also stores the classic block-max float impact bound
+    (max tf/(tf + k(1-b+b·fl/avg))) plus the encode params, so WAND
+    θ-pruning is tight even on flat-tf corpora; queries with different
+    params fall back to the parameter-free (max_tf, min_fl) bound."""
+    from ..config import DEFAULT_BM25
     from .. import ensure_workers
     ensure_workers(postings.sparkSession)
     layout = layout or IndexLayout()
@@ -136,8 +166,18 @@ def compact_posting_lists(postings: DataFrame,
         postings = postings.join(doc_stats, ["doc_id", "field_id"], "left")
         postings = postings.withColumn(
             "field_len", F.coalesce("field_len", F.lit(0)))
+        if avg_field_length is None:
+            avg_field_length = {
+                int(r["field_id"]): float(r["avg"]) for r in
+                doc_stats.groupBy("field_id")
+                .agg(F.avg("field_len").alias("avg")).collect()}
+        if bm25 is None:
+            bm25 = dict(DEFAULT_BM25)
     else:
         postings = postings.withColumn("field_len", F.lit(0))
+        avg_field_length = None  # fl=0 everywhere → impact adds nothing
+    avg_by_fid = ({int(k): float(v) for k, v in avg_field_length.items()}
+                  if avg_field_length else None)
     range_size = max(1, (int(max_doc_id) + 1 + layout.hot_term_salts - 1)
                      // layout.hot_term_salts)
     salted = postings.withColumn(
@@ -149,7 +189,8 @@ def compact_posting_lists(postings: DataFrame,
     lists = (runs
              .repartition(F.xxhash64("term"))
              .groupBy("term", "field_id")
-             .applyInPandas(_merge_runs(layout.block_doc_range),
+             .applyInPandas(_merge_runs(layout.block_doc_range,
+                                        bm25=bm25, avg_by_fid=avg_by_fid),
                             LIST_SCHEMA))
     return lists
 

@@ -81,3 +81,26 @@ def verify_sha256_invariant(docs: DataFrame,
     Returns the number of violations (0 = pass); one scan, no collect."""
     return docs.where(
         F.sha2(F.col(content_col), 256) != F.col(sha_col)).count()
+
+
+def read_corpus(spark: SparkSession, table_or_path: str,
+                file_format: str = "parquet") -> DataFrame:
+    """Load the source-code corpus from a CATALOG TABLE or a file path —
+    the north star's "over Iceberg tables" source seam.
+
+    A name without a path separator (``prod.raw.sources``, ``my_view``)
+    goes through ``spark.read.table()``: with an Iceberg catalog configured
+    on the session (``spark.sql.catalog.<name>=org.apache.iceberg...``)
+    that is the Iceberg scan path, with all of Iceberg's partition/file
+    pruning intact — and it equally resolves Hive tables or temp views, so
+    the seam is testable without the Iceberg runtime (this sandbox has
+    none; the gate is the same import-try pattern as the Pillow decoder).
+    Anything containing ``/`` or a URI scheme loads as files
+    (``file_format``, default parquet).
+
+    The engine is agnostic to which: everything downstream consumes the
+    returned DataFrame, so predicate/column pushdown reaches whichever
+    DataSourceV2 implementation backs it."""
+    if "/" in table_or_path or "://" in table_or_path:
+        return spark.read.format(file_format).load(table_or_path)
+    return spark.read.table(table_or_path)

@@ -117,7 +117,17 @@ def save_index(index: SparkSearchIndex, path: str,
     # parquet directory IS the persisted tombstone state (manifest
     # dirt_count 0 by construction). Round-2 fix: docs/doc_stats were
     # previously written raw, so discarded docs reappeared after load.
-    index.live_docs().write.mode("overwrite").parquet(f"{path}/docs")
+    # docs row-store bucketed by external-id hash (round-3 VERDICT #5):
+    # point maintenance ops (has / get_stored_fields / discard) filter on
+    # the literal bucket of their ids → directory-level PartitionFilters
+    # pruning instead of a full row-store scan at 10⁹ docs
+    (index.live_docs()
+     .withColumn("doc_bucket",
+                 F.pmod(F.xxhash64(index.config.id_field),
+                        F.lit(layout.n_doc_buckets)).cast("int"))
+     .repartition("doc_bucket")
+     .write.mode("overwrite").partitionBy("doc_bucket")
+     .parquet(f"{path}/docs"))
     live_tomb = index._all_tombstones()
     live_stats = index.doc_stats
     if live_tomb is not None:
@@ -141,7 +151,9 @@ def save_index(index: SparkSearchIndex, path: str,
      .write.mode("overwrite").parquet(f"{path}/terms"))
     bytes_compressed = None
     if compact:
-        lists = compact_posting_lists(live, layout, doc_stats=index.doc_stats)
+        lists = compact_posting_lists(
+            live, layout, doc_stats=index.doc_stats,
+            avg_field_length=dict(index.avg_field_length))
         lists.write.mode("overwrite").parquet(f"{path}/posting_lists")
         bytes_compressed = (
             index.spark.read.parquet(f"{path}/posting_lists")
@@ -164,6 +176,7 @@ def save_index(index: SparkSearchIndex, path: str,
         },
         "lineage": {"saved_at": time.time(),
                     "n_term_buckets": layout.n_term_buckets,
+                    "n_doc_buckets": layout.n_doc_buckets,
                     "block_doc_range": layout.block_doc_range},
     }
     _write_json(f"{path}/manifest.json", manifest, index.spark)
@@ -193,6 +206,7 @@ def load_index(spark: SparkSession, path: str,
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
     index._n_term_buckets = manifest.get("lineage", {}).get("n_term_buckets")
+    index._n_doc_buckets = manifest.get("lineage", {}).get("n_doc_buckets")
     # probe optional tables via spark.read, not os.path.exists: the index
     # directory may live on S3/HDFS where local-FS checks always fail and
     # would silently drop the term dictionary / compacted WAND lists

@@ -106,8 +106,12 @@ def stream_sessionize(spark: SparkSession, source_dir: str, schema,
     # watermarks need TIMESTAMP_LTZ; the NTZ→LTZ cast interprets naive
     # parquet instants in the session zone, so shift back by the session-
     # zone offset (identity under UTC) — __ms and the gap boundaries then
-    # equal the batch operator's timezone-independent epoch_ms whatever
-    # spark.sql.session.timeZone is (round-2 ADVICE).
+    # equal the batch operator's timezone-independent epoch_ms (round-2
+    # ADVICE). FIXED-OFFSET ASSUMPTION (round-3 ADVICE): cast and
+    # from_utc_timestamp take the zone offset at the wall time vs. the
+    # instant — for DST session zones events in the transition hour can
+    # shift by the DST delta; run streaming under UTC or another
+    # fixed-offset session zone (the standard cluster default).
     tz = spark.conf.get("spark.sql.session.timeZone")
     ev = (stream
           .withColumn("ts", F.from_utc_timestamp(

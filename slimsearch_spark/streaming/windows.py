@@ -37,8 +37,13 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str, schema,
     # NTZ parquet instants cast to LTZ are interpreted in the session zone
     # (internal instant = wall − offset); shifting back by the session-zone
     # offset makes the window buckets and epoch-ms output equal the batch
-    # operator's timezone-independent arithmetic whatever
-    # spark.sql.session.timeZone is (identity under UTC).
+    # operator's timezone-independent arithmetic (identity under UTC).
+    # FIXED-OFFSET ASSUMPTION (round-3 ADVICE): the cast takes the offset
+    # at the WALL time while from_utc_timestamp takes it at the INSTANT —
+    # for DST session zones these disagree by the DST delta for events
+    # inside the transition hour, shifting those events' buckets. Run
+    # streaming jobs under UTC or another fixed-offset session zone
+    # (spark.sql.session.timeZone=UTC), the standard cluster default.
     tz = spark.conf.get("spark.sql.session.timeZone")
     ev = (stream
           .withColumn("ts", F.from_utc_timestamp(

@@ -144,3 +144,22 @@ def test_hot_term_salting_splits_keys(spark, corpus):
     hot = (salted.where(F.col("term") == "the")
            .select("salt").distinct().count())
     assert hot == 4  # the hot stopword spans every salt bucket
+
+
+def test_read_corpus_table_and_path(spark, corpus, tmp_path):
+    """Round 4 (round-3 VERDICT #6): the source seam accepts a catalog
+    table name (spark.read.table — the Iceberg scan path when an Iceberg
+    catalog is configured; a temp view stands in for the catalog in this
+    sandbox) or a file path (parquet). Both yield the same corpus."""
+    from slimsearch_spark.sources.corpus import read_corpus
+    p = str(tmp_path / "corpus_pq")
+    corpus.write.parquet(p)
+    by_path = read_corpus(spark, p)
+    assert by_path.count() == corpus.count()
+    corpus.createOrReplaceTempView("corpus_v")
+    by_table = read_corpus(spark, "corpus_v")
+    assert by_table.count() == corpus.count()
+    assert set(by_table.columns) >= {"repo", "path", "commit", "lang",
+                                     "content"}
+    # identical rows either way (order-independent)
+    assert by_path.exceptAll(by_table).count() == 0

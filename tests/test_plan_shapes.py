@@ -100,6 +100,33 @@ def test_loaded_index_partition_pruning(spark, index, tmp_path):
     assert a == b
 
 
+def test_docs_point_lookup_partition_pruning(spark, index, tmp_path):
+    """Round 4 (round-3 VERDICT #5): the saved docs row-store is
+    partitioned by doc_bucket = pmod(xxhash64(id), n_doc_buckets); point
+    maintenance lookups (has / get_stored_fields / discard) must prune to
+    the ids' buckets at the parquet scan instead of scanning the table."""
+    from slimsearch_spark.sources.index_store import load_index, save_index
+    import re
+    path = str(tmp_path / "didx")
+    save_index(index, path)
+    uncached = load_index(spark, path, cache=False)
+    some_id = index.docs.orderBy("doc_id").first()[index.config.id_field]
+    p = plan_of(uncached._point_docs([some_id]), "formatted")
+    # single-id lookups fold isin → equality; either way it must be a
+    # PartitionFilter (directory pruning), not a post-scan Filter
+    assert re.search(r"PartitionFilters: \[.*doc_bucket#\d+ (IN \(|= )", p), \
+        p[-2000:]
+    # semantics unchanged by the pruning
+    assert uncached.has(some_id)
+    assert not uncached.has("no/such/path.py")
+    assert uncached.get_stored_fields(some_id) == \
+        index.get_stored_fields(some_id)
+    # stored-field parity output never leaks the physical bucket column
+    assert "doc_bucket" not in (uncached.get_stored_fields(some_id) or {})
+    hits = uncached.search_df("the", top_k=3).collect()
+    assert "doc_bucket" not in hits[0].asDict()
+
+
 def test_ivf_saved_partition_pruning(spark, tmp_path):
     """save_ivf_index persists the IVF cell as a partition column; the
     probe must prune at the parquet scan (PartitionFilters) and return the

@@ -147,18 +147,51 @@ def test_wand_no_match(index):
     assert _wand_topk(index, "zzzzqqqq", 10) == []
 
 
-def test_wand_rejects_tombstoned_index(spark):
+def test_wand_serves_tombstoned_index(spark):
+    """Round 4 (round-3 VERDICT #4): a discarded, unvacuumed index stays
+    servable on the WAND path — tombstoned doc_ids are dropped at block-
+    decode time in the shard kernels, no compaction rewrite needed. The
+    top-k must equal search_df over the same live view, before AND after
+    vacuum."""
     docs = synth_corpus(spark, 50, tokens_per_file=30)
-    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
-    victim = docs.select("path").orderBy("path").first()["path"]
-    idx.discard(victim)
-    with pytest.raises(ValueError, match="vacuum"):
-        idx.search_topk_wand("the", 5)
-    idx.vacuum()
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      auto_vacuum=False)
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["repo", "path"])
+    # force compaction BEFORE the discard: the cached lists still hold the
+    # dead doc's postings, exercising the kernel-side tombstone filter
+    idx.posting_lists()
+    victims = [r["path"] for r in
+               docs.select("path").orderBy("path").limit(3).collect()]
+    idx.discard_many(victims)
+    assert idx.has_tombstones()
     got = idx.search_topk_wand("the", 5, adaptive_min_docs=0).collect()
     want = idx.search_df("the", top_k=5).select("doc_id", "score").collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
         [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert len(got) == 5
+    idx.vacuum()
+    got2 = idx.search_topk_wand("the", 5, adaptive_min_docs=0).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got2] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+
+
+def test_wand_tombstones_and_combinator(spark):
+    """AND / AND_NOT kernels also drop tombstoned docs at decode time."""
+    docs = synth_corpus(spark, 60, tokens_per_file=40)
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      auto_vacuum=False)
+    idx = SparkSearchIndex.build(docs, cfg, order_cols=["repo", "path"])
+    idx.posting_lists()
+    victims = [r["path"] for r in
+               docs.select("path").orderBy("path").limit(4).collect()]
+    idx.discard_many(victims)
+    for cw in ("and", "and_not"):
+        got = idx.search_topk_wand("the import", 5, adaptive_min_docs=0,
+                                   combineWith=cw).collect()
+        want = (idx.search_df("the import", top_k=5, combineWith=cw)
+                .select("doc_id", "score").collect())
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+            [(r["doc_id"], round(r["score"], 9)) for r in want], cw
 
 
 def test_wand_physically_skips_blocks(spark):
@@ -186,6 +219,78 @@ def test_wand_physically_skips_blocks(spark):
     # global θ0 from the top-impact block prunes every filler block: only
     # the blocks holding the tf=50 docs (plus the θ0 probe) decode
     assert decoded <= total // 4, (decoded, total)
+
+
+def test_wand_impact_bound_prunes_flat_tf_corpus(spark):
+    """Round 4 (round-3 VERDICT #1): the per-block float impact bound (the
+    classic block-max, stored at encode time) makes θ-pruning engage on
+    FLAT-tf uniform-length corpora. Every filler doc has tf=1 at the same
+    field length, so a tf=1 block's impact bound EQUALS the true tf=1
+    score; θ0 (seeded from the k tf=2 docs) strictly exceeds it and the
+    whole filler tail is skipped without decoding. The old max_tf/fl→0
+    bound inflated tf=1 blocks above θ0 (norm missing the b·fl/avg term),
+    so blocks_decoded ≈ blocks_total on exactly this corpus shape
+    (BASELINE.md round-3 1M probe, recorded honestly)."""
+    filler = [("r", f"f/{i:05d}.py", "c", "py",
+               "aa " + " ".join(f"junk{i}tok{j}" for j in range(19)))
+              for i in range(2000)]
+    special = [("r", f"zz/{i}.py", "c", "py",
+                "aa aa " + " ".join(f"junk{i}s{j}" for j in range(18)))
+               for i in range(10)]
+    docs = spark.createDataFrame(filler + special,
+                                 "repo string, path string, commit string, "
+                                 "lang string, content string")
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    metrics = {}
+    got = idx.search_topk_wand("aa", 10, metrics=metrics,
+                               layout=IndexLayout(block_doc_range=16)
+                               ).collect()
+    want = (idx.search_df("aa", top_k=10)
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    total = metrics["blocks_total"].value
+    decoded = metrics["blocks_decoded"].value
+    assert total > 100, total
+    assert decoded <= total // 8, (decoded, total)
+
+
+def test_route_stage_dedups_shared_derived_terms(spark):
+    """Round 4 (round-3 VERDICT #3): the route stage emits ONE byte slice
+    per (shard, derived term, field) with the expansion entries as array
+    columns — a derived term shared by two query branches must shuffle the
+    SAME bytes as a single-branch query, not twice."""
+    from slimsearch_spark.config import DEFAULT_BM25
+    from slimsearch_spark.plans import wand as W
+    docs = synth_corpus(spark, 200, tokens_per_file=40)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    lists = idx.posting_lists()
+    matched = lists.where(F.col("term") == "the")
+    avg = idx.avg_field_length
+
+    def routed_bytes(exp):
+        routed = matched.mapInPandas(
+            W._route_stage(exp, idx.doc_count, 4, avg, {0: 1.0},
+                           DEFAULT_BM25), W.SHARD_SCHEMA)
+        r = routed.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("doc_blob") + F.length("tf_blob")
+                  + F.length("fl_blob")).alias("bytes")).collect()[0]
+        return r["rows"], r["bytes"]
+
+    one = routed_bytes({"the": [(0, "the", 1.0)]})
+    two = routed_bytes({"the": [(0, "the", 1.0), (1, "thx", 0.45)]})
+    assert two == one, (one, two)
+
+    # and the shared-derived-term query still scores exactly: 'quary query'
+    # with fuzzy — branch 0 (quary) derives 'query' fuzzily while branch 1
+    # matches it exactly, so one slice carries entries from both branches
+    got = idx.search_topk_wand("quary query", 10, fuzzy=1,
+                               adaptive_min_docs=0).collect()
+    want = (idx.search_df("quary query", fuzzy=1, top_k=10)
+            .select("doc_id", "score").collect())
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
 
 
 def test_wand_theta0_counts_distinct_docs(spark):
