@@ -65,6 +65,15 @@ def test_stream_build_matches_batch(spark, tmp_path):
     assert {(r["id"], round(r["score"], 9)) for r in a} == \
         {(r["id"], round(r["score"], 9)) for r in b}
 
+    # round 4 (round-3 VERDICT #9): the drained directory is directly
+    # loadable — stream_build wrote a manifest + corpus stats at drain
+    from slimsearch_spark.sources.index_store import load_index
+    loaded = load_index(spark, out)
+    assert loaded.doc_count == 120
+    c = loaded.search(q)
+    assert {(r["id"], round(r["score"], 9)) for r in c} == \
+        {(r["id"], round(r["score"], 9)) for r in b}
+
 
 def test_decode_image_optional_dependency():
     """decode_image is a real decoder behind an import-try (round 3):
