@@ -626,7 +626,14 @@ class SparkSearchIndex:
         forced a full compaction rewrite before top-k service resumed).
         Mass ``discard_where`` tombstone sets above
         ``tombstone_collect_threshold`` ids still require a vacuum (they
-        would not fit a task closure)."""
+        would not fit a task closure).
+
+        Wide expansions (matched terms > expansionCollectThreshold) take
+        the pruned path too (round 4): the expansion ships as a DataFrame
+        joined against the compacted lists inside ``wand_topk`` — no
+        driver materialization of the derived-term set. The one remaining
+        narrow corner is wide expansion over a TOMBSTONED index (the live
+        df recount would be unbounded): vacuum first."""
         from .plans.wand import wand_topk
         tombstones = None
         if self.has_tombstones():
@@ -669,14 +676,32 @@ class SparkSearchIndex:
             return (self.search_df(query, top_k=k, **options)
                     .select("doc_id", "score"))
         boost = opts.get("boost") or {}
-        _, expansion_rows, expansion_dfs = self._plan_string_query(
+        specs, expansion_rows, expansion_dfs = self._plan_string_query(
             query, opts, field_ids)
+        expansion_df = None
+        branch_ids = None
+        n_query_terms = None
         if expansion_dfs:
-            raise ValueError(
-                "search_topk_wand plans the expansion driver-side; this "
-                "query's prefix/fuzzy expansion exceeds "
-                "expansionCollectThreshold — raise the threshold or use "
-                "search_df(top_k=k)")
+            # WIDE expansion: the matched term set exceeds
+            # expansionCollectThreshold — ship the expansion as a DataFrame
+            # and let wand_topk JOIN it against the compacted lists; the
+            # derived-term set never touches the driver, so a short prefix
+            # over a 10^9-term vocabulary still takes the pruned path. The
+            # query's branch/term structure (needed for the AND branch
+            # count and the quality bound) comes from the query string.
+            if tombstones:
+                raise ValueError(
+                    "search_topk_wand: wide expansion over a tombstoned "
+                    "index would need an unbounded live-df recount; run "
+                    "vacuum() first")
+            from .plans.scoring import EXPANSION_SCHEMA
+            expansion_df = self.spark.createDataFrame(
+                expansion_rows, EXPANSION_SCHEMA)
+            for df in expansion_dfs:
+                expansion_df = expansion_df.unionByName(df)
+            branch_ids = [s["branch"] for s in specs]
+            n_query_terms = len({s["term"] for s in specs})
+            expansion_rows = []
         if posting_lists is None:
             lists = self.posting_lists(layout)
             # the grid span the cached lists were actually built with
@@ -705,7 +730,9 @@ class SparkSearchIndex:
             combine_with=cw,
             bm25={**DEFAULT_BM25, **(opts.get("bm25") or {})},
             layout=layout, max_doc_id=self.next_id - 1,
-            tombstones=tombstones, df_override=df_override, metrics=metrics)
+            tombstones=tombstones, df_override=df_override,
+            expansion_df=expansion_df, branch_ids=branch_ids,
+            n_query_terms=n_query_terms, metrics=metrics)
 
     def search(self, query, **options) -> List[dict]:
         """Parity-shaped results (reference search(), src/search.ts:169-209)."""

@@ -25,34 +25,70 @@ from ..functions.tokenize import raw_tokens_col, terms_col
 
 
 def assign_doc_ids(df: DataFrame, order_cols: Sequence[str],
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   samples_per_part: int = 100) -> DataFrame:
     """Dense 0-based doc ids in (order_cols) order, without a single-partition
-    global window: range-partition on the key, per-partition row_number, then
-    add broadcast per-partition offsets. ``order_cols`` must be a unique key.
+    global window: deterministic range classes on the key, per-class
+    row_number, then broadcast per-class offsets. ``order_cols`` must be a
+    unique key.
+
+    The range classes are cut at hash-sampled key quantiles — a PURE
+    FUNCTION OF THE DATA. ``repartitionByRange`` + ``spark_partition_id``
+    (the round-1..3 implementation) is NOT: Spark's range sampling is
+    seeded per plan evaluation, so the partition counts collected in one
+    action could disagree with the boundaries of the evaluation that
+    computes the output (and any later re-evaluation), assigning DUPLICATE
+    and nondeterministic ids on corpora big enough for the sampled cut
+    points to wander (observed: 541 duplicate ids over 20k docs; found by
+    the round-4 flat-tf pruning probe, latent since round 1 — the oracle
+    tables carry pre-assigned doc_ids, so the driver gate never exercised
+    this path at scale). Deterministic boundaries also survive task
+    retries and executor loss on a real cluster, where a recomputed
+    partition must reproduce the ids already shipped downstream.
+
+    Scalable to 10^12 rows: driver state is ~samples_per_part keys per
+    class plus one count per class; the per-row class expression is a
+    chained comparison against n_classes-1 literals.
 
     Replaces the reference's insertion-order ``_nextId`` (src/add.ts:25-37)
-    with a deterministic total order — scalable to 10^12 rows because the only
-    driver-side state is one count per partition.
+    with a deterministic total order.
     """
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    local = ranged.withColumn("__rn", F.row_number().over(w))
-    counts = {r["__pid"]: r["cnt"] for r in
-              local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    keys = [F.col(c) for c in order_cols]
+    # one sortable composite key: NUL separator < any UTF-8 byte, so the
+    # concatenated string orders exactly like the column tuple
+    key = (keys[0].cast("string") if len(keys) == 1
+           else F.concat_ws("\x00", *[k.cast("string") for k in keys]))
+    total = df.count()
+    boundaries: List[str] = []
+    if total > n_part:
+        rate = max(1, total // (samples_per_part * n_part))
+        sampled = sorted(
+            r["k"] for r in df.select(key.alias("k"))
+            .where(F.pmod(F.xxhash64(key), F.lit(rate)) == 0).collect())
+        if sampled:
+            step = max(1, len(sampled) // n_part)
+            boundaries = sorted(set(sampled[step::step]))[:n_part - 1]
+    cls = F.lit(0)
+    for b in boundaries:
+        cls = cls + (key >= F.lit(b)).cast("int")
+    local = df.withColumn("__cls", cls)
+    w = Window.partitionBy("__cls").orderBy(*keys)
+    local = local.withColumn("__rn", F.row_number().over(w))
+    counts = {r["__cls"]: r["cnt"] for r in
+              local.groupBy("__cls").agg(F.count("*").alias("cnt")).collect()}
     offsets: Dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for c in sorted(counts):
+        offsets[c] = acc
+        acc += counts[c]
     offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
-                       for x in pid_off]),
-        F.col("__pid"))
+        F.create_map(*[F.lit(x) for cls_off in sorted(offsets.items())
+                       for x in cls_off]),
+        F.col("__cls"))
     return (local
             .withColumn(id_col, (offset_expr + F.col("__rn") - 1).cast("long"))
-            .drop("__pid", "__rn"))
+            .drop("__cls", "__rn"))
 
 
 def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:

@@ -94,7 +94,21 @@ TOPK_SCHEMA = T.StructType([
 Expansions = Dict[str, List[Tuple[int, str, float]]]
 
 
-def _route_stage(exp_by_term: Expansions, doc_count: int,
+def _row_expansions(exp_by_term: Optional[Expansions], row):
+    """Expansion entries for one matched list row: from the driver-held
+    dict (broadcast path) or from the row's joined ``exps`` struct array
+    (wide-expansion path, where the matched-term set never touches the
+    driver)."""
+    if exp_by_term is not None:
+        return exp_by_term.get(row["term"])
+    exps = row["exps"]
+    if exps is None or not len(exps):
+        return None
+    return [(int(e["branch"]), e["query_term"], float(e["w"]))
+            for e in exps]
+
+
+def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
                  blocks_per_shard: int,
                  avg_len_by_fid: Mapping[int, float],
                  fboost_by_fid: Mapping[int, float],
@@ -112,7 +126,7 @@ def _route_stage(exp_by_term: Expansions, doc_count: int,
         for pdf in iterator:
             out: Dict[str, list] = {f.name: [] for f in SHARD_SCHEMA.fields}
             for _, row in pdf.iterrows():
-                expansions = exp_by_term.get(row["term"])
+                expansions = _row_expansions(exp_by_term, row)
                 if not expansions:
                     continue
                 fid = int(row["field_id"])
@@ -243,7 +257,7 @@ def _fetch_blocks(s: dict, which: np.ndarray, acc_decoded=None):
             np.concatenate([p[2] for p in parts]))
 
 
-def _theta0_stage(exp_by_term: Expansions, doc_count: int,
+def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
                   avg_len_by_fid: Mapping[int, float],
                   fboost_by_fid: Mapping[int, float],
                   bm25: Mapping[str, float], k_top: int,
@@ -272,7 +286,7 @@ def _theta0_stage(exp_by_term: Expansions, doc_count: int,
             out_d: List[np.ndarray] = []
             out_s: List[np.ndarray] = []
             for _, row in pdf.iterrows():
-                expansions = exp_by_term.get(row["term"])
+                expansions = _row_expansions(exp_by_term, row)
                 if not expansions:
                     continue
                 fid = int(row["field_id"])
@@ -639,6 +653,9 @@ def wand_topk(posting_lists: DataFrame,
               n_shards: Optional[int] = None,
               tombstones: Optional[Sequence[int]] = None,
               df_override: Optional[Mapping[tuple, int]] = None,
+              expansion_df: Optional[DataFrame] = None,
+              branch_ids: Optional[Sequence[int]] = None,
+              n_query_terms: Optional[int] = None,
               metrics: Optional[dict] = None) -> DataFrame:
     """Top-k BM25 query over compacted posting lists with block-max
     pruning. ``expansion_rows``: (branch, query_term, derived_term, rank,
@@ -655,6 +672,13 @@ def wand_topk(posting_lists: DataFrame,
     Returns DataFrame(doc_id, score) — the global top-k, reference-identical
     scores (quality multiplier included).
 
+    ``expansion_df``: the WIDE-expansion mode — a DataFrame in
+    EXPANSION_SCHEMA shape replaces (or augments) ``expansion_rows``; the
+    matched term set is computed by a JOIN against the compacted lists and
+    never touches the driver, so a short prefix over a 10⁹-term vocabulary
+    still takes the pruned path. Requires ``branch_ids`` and
+    ``n_query_terms`` (known driver-side from the query string itself).
+
     Pass ``metrics={}`` to receive pruning-evidence accumulators: after an
     action, ``metrics["blocks_total"].value`` / ``["blocks_decoded"].value``
     report posting blocks present vs. physically decoded.
@@ -667,18 +691,6 @@ def wand_topk(posting_lists: DataFrame,
             f"wand_topk supports or/and/and_not (got {combine_with})")
     spark = posting_lists.sparkSession
 
-    exp_by_term: Expansions = {}
-    branches = set()
-    query_terms = set()
-    for (branch, query_term, derived_term, _r, weight, term_boost) \
-            in expansion_rows:
-        branches.add(int(branch))
-        query_terms.add(query_term)
-        exp_by_term.setdefault(derived_term, []).append(
-            (int(branch), query_term, float(weight) * float(term_boost)))
-    if not exp_by_term:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-
     tomb = None
     if tombstones is not None and len(tombstones):
         tomb = np.unique(np.asarray(list(tombstones), dtype=np.int64))
@@ -688,9 +700,45 @@ def wand_topk(posting_lists: DataFrame,
               for k, v in (field_boost_by_id or {}).items()}
     avg_by_fid = {int(k): float(v) for k, v in avg_field_length.items()}
 
-    matched = (posting_lists
-               .where(F.col("field_id").isin(fids)
-                      & F.col("term").isin(list(exp_by_term))))
+    if expansion_df is not None:
+        if branch_ids is None or n_query_terms is None:
+            raise ValueError(
+                "wand_topk wide-expansion mode needs branch_ids and "
+                "n_query_terms (the query's own term/branch structure)")
+        exp_by_term = None
+        branches = {int(b) for b in branch_ids}
+        exp_agg = (expansion_df
+                   .select(F.col("branch").cast("int").alias("branch"),
+                           "query_term", "derived_term",
+                           (F.col("weight") * F.col("term_boost"))
+                           .cast("double").alias("w"))
+                   .groupBy("derived_term")
+                   .agg(F.collect_list(
+                       F.struct("branch", "query_term", "w")).alias("exps")))
+        matched = (posting_lists
+                   .where(F.col("field_id").isin(fids))
+                   .join(exp_agg,
+                         posting_lists["term"] == exp_agg["derived_term"],
+                         "inner")
+                   .drop("derived_term"))
+        n_qt = int(n_query_terms)
+    else:
+        exp_by_term = {}
+        branches = set()
+        query_terms = set()
+        for (branch, query_term, derived_term, _r, weight, term_boost) \
+                in expansion_rows:
+            branches.add(int(branch))
+            query_terms.add(query_term)
+            exp_by_term.setdefault(derived_term, []).append(
+                (int(branch), query_term, float(weight) * float(term_boost)))
+        if not exp_by_term:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        n_qt = len(query_terms)
+
+        matched = (posting_lists
+                   .where(F.col("field_id").isin(fids)
+                          & F.col("term").isin(list(exp_by_term))))
 
     if max_doc_id is None:
         max_doc_id = doc_count  # dense row_number ids → count bounds max
@@ -739,13 +787,13 @@ def wand_topk(posting_lists: DataFrame,
         _route_stage(exp_by_term, doc_count, blocks_per_shard,
                      avg_by_fid, fboost, bm25, df_override), SHARD_SCHEMA)
     if combine_with == "and":
-        stage = _shard_stage_and(k_top, len(branches), len(query_terms),
+        stage = _shard_stage_and(k_top, len(branches), n_qt,
                                  bm25, tomb, acc_total, acc_decoded)
     elif combine_with == "and_not":
         stage = _shard_stage_and_not(k_top, min(branches), bm25, tomb,
                                      acc_total, acc_decoded)
     else:
-        stage = _shard_stage_or(k_top, len(query_terms), bm25,
+        stage = _shard_stage_or(k_top, n_qt, bm25,
                                 layout.block_doc_range, theta0, tomb,
                                 acc_total, acc_decoded)
     local = routed.groupBy("shard").applyInPandas(stage, TOPK_SCHEMA)

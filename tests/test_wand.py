@@ -137,6 +137,19 @@ def test_wand_with_prefix_and_fuzzy_expansion(index):
             _full_topk(index, "varint merg", 10, **kw), kw
 
 
+def test_wand_wide_expansion_df_path(index):
+    """Round 4: expansions past expansionCollectThreshold take the pruned
+    path too — the expansion ships as a DataFrame joined against the
+    compacted lists inside wand_topk (no driver materialization of the
+    derived-term set, where the old contract raised). Results must equal
+    both the exact plan and the broadcast-path WAND."""
+    for q, kw in [("pa", {"prefix": True}),
+                  ("merg", {"prefix": True, "fuzzy": 1})]:
+        wide = _wand_topk(index, q, 10, expansionCollectThreshold=0, **kw)
+        assert wide == _full_topk(index, q, 10, **kw), (q, kw)
+        assert wide == _wand_topk(index, q, 10, **kw), (q, kw)
+
+
 def test_wand_single_hot_term(index):
     # stopword-like hot term: every doc matches; pruning must still keep
     # the exact top-k
