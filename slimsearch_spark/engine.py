@@ -585,6 +585,15 @@ class SparkSearchIndex:
                     and cached_layout.block_doc_range
                     != layout.block_doc_range)):
             from .operators.compact import compact_posting_lists
+            # a layout change recompacts from scratch — drop any appended
+            # segments too, or a later _append_segment would resurrect a
+            # stale segment list built under the old grid
+            for seg in getattr(self, "_segments", None) or []:
+                try:
+                    seg.unpersist()
+                except Exception:
+                    pass
+            self._segments = None
             # encode-time BM25 params + the engine's own avg_field_length
             # go into the per-block float impact bounds; queries at the
             # default params get classic block-max θ-pruning, others fall
@@ -596,44 +605,108 @@ class SparkSearchIndex:
                 bm25=dict(DEFAULT_BM25),
                 avg_field_length=dict(self.avg_field_length)).cache()
             self._posting_lists_layout = layout
+            self._segment_count = 1
         return self._posting_lists
+
+    # LSM-style bound: past this many appended segments, the next add_all
+    # falls back to a full recompaction (merge) instead of appending —
+    # per-(term, field) row fan-out stays bounded however many batches
+    # arrive between vacuums
+    max_segments: int = 32
+
+    def _append_segment(self, new_postings: DataFrame,
+                        new_stats: DataFrame) -> None:
+        """Incremental compaction (round 4): encode ONLY the new batch's
+        postings as an appended segment of the cached compacted lists.
+
+        Correct without any merge because new doc_ids continue from
+        next_id — every segment covers a disjoint doc-id range, so blocks
+        stay aligned to the absolute doc-id grid and a doc exists in
+        exactly one segment's row per (term, field). The WAND kernels
+        treat segment rows as independent slices; only the per-(term,
+        field) df total is re-aggregated at query time (wand_topk
+        ``segmented``). Previously any add_all invalidated the compacted
+        lists, forcing a FULL index re-encode before top-k service
+        resumed — the per-ingest-batch rewrite that kills a 100 TB index.
+
+        Block-impact bounds of older segments were encoded at the
+        then-current avg_field_length; after the append they degrade to
+        the parameter-free (max_tf, min_fl) fallback (codec.
+        block_impact_bounds) — looser pruning, never wrong scores."""
+        from .config import IndexLayout
+        from .operators.compact import compact_posting_lists
+        layout = self._posting_lists_layout or IndexLayout()
+        delta = compact_posting_lists(
+            new_postings, layout,
+            max_doc_id=self.next_id - 1,
+            doc_stats=new_stats,
+            bm25=dict(DEFAULT_BM25),
+            avg_field_length=dict(self.avg_field_length)).cache()
+        delta.count()  # encode the batch now, while its inputs are hot
+        # segments stay INDIVIDUALLY cached; the served lists are a lazy
+        # union over them — appending batch N never re-reads or re-caches
+        # batches 1..N-1 (work per add_all is O(batch), not O(index))
+        segs = getattr(self, "_segments", None) or [self._posting_lists]
+        segs.append(delta)
+        self._segments = segs
+        lists = segs[0]
+        for s in segs[1:]:
+            lists = lists.unionByName(s)
+        self._posting_lists = lists
+        self._segment_count = len(segs)
 
     def search_topk_wand(self, query: str, k: int,
                          posting_lists: Optional[DataFrame] = None,
                          layout=None, metrics: Optional[dict] = None,
                          adaptive_min_docs: int = 100_000,
                          tombstone_collect_threshold: int = 1_000_000,
+                         filter_collect_threshold: int = 1_000_000,
                          **options) -> DataFrame:
         """Top-k search over the compacted index with distributed block-max
         WAND pruning (plans/wand.py).
 
         Contract: flat string queries (OR / AND / AND_NOT, any field
-        subset, field boosts) over a compacted index; ``filter`` and
-        ``boostDocument`` are not supported on this path (use
-        ``search_df(top_k=k)``). Within that contract, scores are
-        identical to ``search_df`` and only provably sub-threshold docs
-        are skipped: OR runs disjunctive block-max WAND, AND runs
-        posting-list intersection at grid-cell granularity with block
-        skip (reference AND semantics, src/utils.ts:108-121; multi-field
-        loop, src/results.ts:170-189), AND_NOT subtracts the negative
-        lists inside surviving positive cells only (src/utils.ts:129-133).
-        Unsupported options raise instead of silently returning wrong
-        results.
+        subset, field boosts) over a compacted index; ``boostDocument``
+        is not supported on this path (a per-doc multiplier invalidates
+        the stored block bounds — use ``search_df(top_k=k)``). Within
+        that contract, scores are identical to ``search_df`` and only
+        provably sub-threshold docs are skipped: OR runs disjunctive
+        block-max WAND, AND runs posting-list intersection at grid-cell
+        granularity with block skip (reference AND semantics,
+        src/utils.ts:108-121; multi-field loop, src/results.ts:170-189),
+        AND_NOT subtracts the negative lists inside surviving positive
+        cells only (src/utils.ts:129-133). Unsupported options raise
+        instead of silently returning wrong results.
+
+        ``filter`` (round 4): a Column / SQL-string predicate over the
+        stored fields IS served — reference semantics (src/search.ts:199:
+        scores are computed as if unfiltered, failing docs just cannot
+        appear), so the failing doc_ids ship into the kernels exactly
+        like tombstones and are dropped at decode time; df/idf stay
+        untouched. The failing set is bounded by
+        ``filter_collect_threshold`` (a predicate that excludes nearly
+        everything belongs on ``search_df``, where it pushes into the
+        scan). Callable filters stay unsupported here.
 
         A discarded, unvacuumed index stays servable: the tombstoned
         doc_ids ship into the shard kernels and are dropped at block-decode
         time (round-3 VERDICT "what's wrong" #4 — previously any discard
-        forced a full compaction rewrite before top-k service resumed).
-        Mass ``discard_where`` tombstone sets above
-        ``tombstone_collect_threshold`` ids still require a vacuum (they
-        would not fit a task closure).
+        forced a full compaction rewrite before top-k service resumed),
+        and df/idf are recounted over the live postings as a joined
+        DataFrame — never on the driver — so this composes with wide
+        expansions too (the round-3 corner). Mass ``discard_where``
+        tombstone sets above ``tombstone_collect_threshold`` ids still
+        require a vacuum (they would not fit a task closure).
 
         Wide expansions (matched terms > expansionCollectThreshold) take
         the pruned path too (round 4): the expansion ships as a DataFrame
         joined against the compacted lists inside ``wand_topk`` — no
-        driver materialization of the derived-term set. The one remaining
-        narrow corner is wide expansion over a TOMBSTONED index (the live
-        df recount would be unbounded): vacuum first."""
+        driver materialization of the derived-term set.
+
+        After ``add_all`` on a compacted index, the new docs live in an
+        appended SEGMENT (incremental compaction — no index rewrite);
+        this path serves multi-segment lists transparently (per-(term,
+        field) df totals are re-aggregated inside ``wand_topk``)."""
         from .plans.wand import wand_topk
         tombstones = None
         if self.has_tombstones():
@@ -654,11 +727,16 @@ class SparkSearchIndex:
             raise ValueError(
                 f"search_topk_wand supports combineWith=OR/AND/AND_NOT "
                 f"(got {cw}); use search_df(top_k=k)")
-        for unsupported in ("filter", "boostDocument"):
-            if opts.get(unsupported) is not None:
-                raise ValueError(
-                    f"search_topk_wand does not support {unsupported}; "
-                    "use search_df(top_k=k)")
+        if opts.get("boostDocument") is not None:
+            raise ValueError(
+                "search_topk_wand does not support boostDocument; "
+                "use search_df(top_k=k)")
+        flt = opts.get("filter")
+        if flt is not None and callable(flt):
+            raise ValueError(
+                "search_topk_wand supports filter only as a Column / SQL "
+                "string predicate over stored fields; for a Python "
+                "callable use search_df(top_k=k)")
         fields = opts.get("fields") or list(self.config.fields)
         field_ids = [self.field_ids[f] for f in fields]
         if (posting_lists is None and metrics is None
@@ -689,11 +767,6 @@ class SparkSearchIndex:
             # over a 10^9-term vocabulary still takes the pruned path. The
             # query's branch/term structure (needed for the AND branch
             # count and the quality bound) comes from the query string.
-            if tombstones:
-                raise ValueError(
-                    "search_topk_wand: wide expansion over a tombstoned "
-                    "index would need an unbounded live-df recount; run "
-                    "vacuum() first")
             from .plans.scoring import EXPANSION_SCHEMA
             expansion_df = self.spark.createDataFrame(
                 expansion_rows, EXPANSION_SCHEMA)
@@ -706,22 +779,48 @@ class SparkSearchIndex:
             lists = self.posting_lists(layout)
             # the grid span the cached lists were actually built with
             layout = getattr(self, "_posting_lists_layout", layout)
+            segmented = getattr(self, "_segment_count", 1) > 1
         else:
             lists = posting_lists
-        df_override = None
+            segmented = bool(options.get("segmented", False))
+        live_df = None
         if tombstones:
             # compacted rows carry the pre-discard df (dead docs counted),
             # which would deflate idf — recount df over the live view for
-            # just the matched derived terms (term-pruned aggregation; on a
-            # saved index the bucket predicate prunes partitions)
-            derived = sorted({r[2] for r in expansion_rows})
-            live = self._pruned_postings(self.live_postings(), derived)
-            df_override = {
-                (r["term"], int(r["field_id"])): int(r["df"]) for r in
-                live.where(F.col("term").isin(derived)
-                           & F.col("field_id").isin(field_ids))
-                .groupBy("term", "field_id")
-                .agg(F.count("*").alias("df")).collect()}
+            # just the matched derived terms as a JOINED DataFrame (never
+            # on the driver, so wide expansions compose; on a saved index
+            # the bucket predicate prunes partitions)
+            if expansion_df is not None:
+                derived_df = (expansion_df
+                              .select(F.col("derived_term").alias("term"))
+                              .distinct())
+                live = (self.live_postings()
+                        .join(F.broadcast(derived_df), "term", "left_semi"))
+            else:
+                derived = sorted({r[2] for r in expansion_rows})
+                live = (self._pruned_postings(self.live_postings(), derived)
+                        .where(F.col("term").isin(derived)))
+            live_df = (live.where(F.col("field_id").isin(field_ids))
+                       .groupBy("term", "field_id")
+                       .agg(F.count("*").alias("df")))
+        if flt is not None:
+            # reference filter semantics (src/search.ts:199): scores stay
+            # those of the unfiltered query — so the failing doc_ids ride
+            # the tombstone mechanism (decode-time drop) WITHOUT touching
+            # the df recount above
+            pred = F.expr(flt) if isinstance(flt, str) else flt
+            limit = int(filter_collect_threshold)
+            failing = (self.live_docs()
+                       .where(~F.coalesce(pred, F.lit(False)))
+                       .select("doc_id").limit(limit + 1).collect())
+            if len(failing) > limit:
+                raise ValueError(
+                    "search_topk_wand: filter excludes more than "
+                    f"filter_collect_threshold={limit} docs; such a "
+                    "selective predicate belongs on search_df(top_k=k), "
+                    "where it pushes into the scan")
+            tombstones = list(tombstones or [])
+            tombstones.extend(int(r["doc_id"]) for r in failing)
         return wand_topk(
             lists, expansion_rows, k, self.doc_count, self.avg_field_length,
             field_ids=field_ids,
@@ -730,7 +829,7 @@ class SparkSearchIndex:
             combine_with=cw,
             bm25={**DEFAULT_BM25, **(opts.get("bm25") or {})},
             layout=layout, max_doc_id=self.next_id - 1,
-            tombstones=tombstones, df_override=df_override,
+            tombstones=tombstones, live_df=live_df, segmented=segmented,
             expansion_df=expansion_df, branch_ids=branch_ids,
             n_query_terms=n_query_terms, metrics=metrics)
 
@@ -1101,9 +1200,11 @@ class SparkSearchIndex:
 
     def _invalidate_posting_lists(self) -> None:
         """Drop the cached compacted lists + term dictionary after any
-        postings mutation — both re-derive lazily on next use."""
-        for attr in ("_posting_lists", "_term_dict"):
-            df = getattr(self, attr, None)
+        in-place postings mutation (remove/vacuum — add_all appends a
+        segment instead) — both re-derive lazily on next use."""
+        for df in ([getattr(self, "_posting_lists", None),
+                    getattr(self, "_term_dict", None)]
+                   + list(getattr(self, "_segments", None) or [])):
             if df is not None:
                 try:
                     df.unpersist()
@@ -1111,6 +1212,8 @@ class SparkSearchIndex:
                     pass
         self._posting_lists = None
         self._posting_lists_layout = None
+        self._segments = None
+        self._segment_count = 1
         self._term_dict = None
 
     def add_all(self, new_docs: DataFrame,
@@ -1150,7 +1253,10 @@ class SparkSearchIndex:
             assigned = assign_doc_ids(new_docs, order_cols)
             assigned = assigned.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(self.next_id))
-        tokenized = tokenize_fields(assigned, self.config)
+        from pyspark import StorageLevel
+        tokenized = tokenize_fields(assigned, self.config).persist(
+            StorageLevel.MEMORY_AND_DISK)  # one tokenize pass feeds the
+        # stats collect, the segment encode, and the term-dict union
         new_postings = build_postings(tokenized)
         new_stats = build_doc_stats(tokenized)
         n_new = assigned.count()
@@ -1187,7 +1293,28 @@ class SparkSearchIndex:
             self.next_id = max(self.next_id, int(hi) + 1)
         else:
             self.next_id += n_new
-        self._invalidate_posting_lists()
+        if (getattr(self, "_posting_lists", None) is not None and n_new
+                and getattr(self, "_segment_count", 1) < self.max_segments):
+            # the index is already compacted (WAND-serving): append the
+            # batch as a new SEGMENT instead of invalidating — no full
+            # re-encode before top-k service resumes (round-4)
+            self._append_segment(new_postings, new_stats)
+            if getattr(self, "_term_dict", None) is not None:
+                # dictionary-sized union+distinct, not a postings rescan
+                old_td = self._term_dict
+                td = (old_td
+                      .unionByName(
+                          new_postings.select("term", "field_id").distinct())
+                      .distinct().cache())
+                td.count()
+                try:
+                    old_td.unpersist()
+                except Exception:
+                    pass
+                self._term_dict = td
+        else:
+            self._invalidate_posting_lists()
+        tokenized.unpersist()
 
     def replace(self, doc: Mapping[str, Any]) -> None:
         self.discard(doc[self.config.id_field])

@@ -112,14 +112,14 @@ def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
                  blocks_per_shard: int,
                  avg_len_by_fid: Mapping[int, float],
                  fboost_by_fid: Mapping[int, float],
-                 bm25: Mapping[str, float],
-                 df_override: Optional[Mapping[tuple, int]] = None):
+                 bm25: Mapping[str, float]):
     """mapInPandas fn: slice each matched (term, field) list row into
     per-shard byte ranges — ONE output slice per (shard, term, field),
     carrying the expansion entry list as array columns (round-3 VERDICT
     "what's wrong" #2: the per-entry clone shipped duplicate bytes).
-    ``df_override`` maps (term, field_id) → live df for tombstoned
-    indexes (the stored df counts dead docs, which would deflate idf)."""
+    The row's ``df`` column is the (term, field) TOTAL — wand_topk rewrites
+    it upstream for tombstoned indexes (live recount join) and segmented
+    lists (per-segment dfs summed), so idf is computed once, here."""
     k, b = float(bm25["k"]), float(bm25["b"])
 
     def route(iterator):
@@ -132,8 +132,7 @@ def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
                 fid = int(row["field_id"])
                 avg_len = float(avg_len_by_fid.get(fid, 1.0))
                 fboost = float(fboost_by_fid.get(fid, 1.0))
-                df_t = float(row["df"]) if df_override is None else \
-                    float(df_override.get((row["term"], fid), 0))
+                df_t = float(row["df"])
                 if df_t <= 0:
                     continue
                 idf = math.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
@@ -262,7 +261,6 @@ def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
                   fboost_by_fid: Mapping[int, float],
                   bm25: Mapping[str, float], k_top: int,
                   tomb: Optional[np.ndarray] = None,
-                  df_override: Optional[Mapping[tuple, int]] = None,
                   acc_decoded=None):
     """mapInPandas fn for the global-θ pre-pass over the raw matched lists:
     per (term, field) row, decode only the highest-impact blocks (by
@@ -290,8 +288,7 @@ def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
                 if not expansions:
                     continue
                 fid = int(row["field_id"])
-                df_t = float(row["df"]) if df_override is None else \
-                    float(df_override.get((row["term"], fid), 0))
+                df_t = float(row["df"])
                 if df_t <= 0:
                     continue
                 avg_len = float(avg_len_by_fid.get(fid, 1.0))
@@ -652,7 +649,8 @@ def wand_topk(posting_lists: DataFrame,
               max_doc_id: Optional[int] = None,
               n_shards: Optional[int] = None,
               tombstones: Optional[Sequence[int]] = None,
-              df_override: Optional[Mapping[tuple, int]] = None,
+              live_df: Optional[DataFrame] = None,
+              segmented: bool = False,
               expansion_df: Optional[DataFrame] = None,
               branch_ids: Optional[Sequence[int]] = None,
               n_query_terms: Optional[int] = None,
@@ -668,6 +666,18 @@ def wand_topk(posting_lists: DataFrame,
     fields and their boosts (src/results.ts:181-189). ``tombstones``:
     discarded doc_ids to drop at decode time — top-k over a discarded,
     unvacuumed index without a compaction rewrite.
+
+    ``live_df``: a ``(term, field_id, df)`` DataFrame of LIVE document
+    frequencies that replaces the stored ``df`` column (inner join — a
+    term with no live posting drops out). Used for tombstoned indexes,
+    where the stored df counts dead docs and would deflate idf; the
+    recount never touches the driver, so it composes with the wide
+    -expansion path. ``segmented``: the lists carry more than one row
+    (segment) per (term, field) — incremental compaction appends new-doc
+    segments instead of rewriting the index (doc-id ranges are disjoint
+    by construction, so kernels need no merge) — and idf must use the
+    per-(term, field) TOTAL df, computed here as a slim aggregation
+    broadcast-joined back (the blobs never shuffle).
 
     Returns DataFrame(doc_id, score) — the global top-k, reference-identical
     scores (quality multiplier included).
@@ -740,6 +750,23 @@ def wand_topk(posting_lists: DataFrame,
                    .where(F.col("field_id").isin(fids)
                           & F.col("term").isin(list(exp_by_term))))
 
+    if live_df is not None:
+        # tombstoned index: the stored df counts dead docs — replace it
+        # with the live recount (inner join: a fully-dead term vanishes)
+        matched = (matched.drop("df")
+                   .join(F.broadcast(live_df.select(
+                       "term", "field_id",
+                       F.col("df").cast("int").alias("df"))),
+                       ["term", "field_id"], "inner"))
+    elif segmented:
+        # multi-segment lists: one row per (term, field, segment), each
+        # carrying only its own df — idf needs the total. Slim aggregation
+        # (3 narrow columns, Catalyst prunes the blobs) broadcast back.
+        tot = (matched.groupBy("term", "field_id")
+               .agg(F.sum("df").cast("int").alias("__df_tot")))
+        matched = (matched.join(F.broadcast(tot), ["term", "field_id"])
+                   .drop("df").withColumnRenamed("__df_tot", "df"))
+
     if max_doc_id is None:
         max_doc_id = doc_count  # dense row_number ids → count bounds max
     if n_shards is None:
@@ -770,7 +797,7 @@ def wand_topk(posting_lists: DataFrame,
         top = (matched
                .mapInPandas(_theta0_stage(exp_by_term, doc_count,
                                           avg_by_fid, fboost,
-                                          bm25, k_top, tomb, df_override,
+                                          bm25, k_top, tomb,
                                           acc_theta0),
                             T.StructType([
                                 T.StructField("doc_id", T.LongType()),
@@ -785,7 +812,7 @@ def wand_topk(posting_lists: DataFrame,
 
     routed = matched.mapInPandas(
         _route_stage(exp_by_term, doc_count, blocks_per_shard,
-                     avg_by_fid, fboost, bm25, df_override), SHARD_SCHEMA)
+                     avg_by_fid, fboost, bm25), SHARD_SCHEMA)
     if combine_with == "and":
         stage = _shard_stage_and(k_top, len(branches), n_qt,
                                  bm25, tomb, acc_total, acc_decoded)

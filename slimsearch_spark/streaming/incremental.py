@@ -57,6 +57,56 @@ def finalize_stream_index(spark: SparkSession, out_path: str,
     return manifest
 
 
+def stream_into_index(spark: SparkSession, source_dir: str, index,
+                      schema, checkpoint: Optional[str] = None,
+                      available_now: bool = True,
+                      max_files_per_trigger: Optional[int] = None,
+                      order_cols: Optional[list] = None):
+    """readStream(parquet dir) → ``index.add_all`` per micro-batch: a LIVE,
+    continuously-queryable index (round 4).
+
+    ``stream_build`` targets the bulk path (postings appended to a store,
+    finalized once at drain); this is the serving path: each micro-batch
+    lands as an appended compacted SEGMENT (``engine._append_segment``) if
+    the index is already compacted, so ``search_topk_wand`` keeps serving
+    between batches with O(batch) ingest work and no index rewrite — the
+    Structured-Streaming analog of an LSM memtable flush. foreachBatch
+    runs on the driver serially, so doc_ids continue from ``next_id``
+    with no cross-batch coordination.
+
+    Replay note: foreachBatch may re-deliver a batch after a failure;
+    since the index lives in this process (a restart rebuilds it anyway),
+    idempotency only needs to hold within the process — applied batch_ids
+    are tracked and replays skipped."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if max_files_per_trigger:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", int(max_files_per_trigger))
+                  .parquet(source_dir))
+    applied: set = set()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied or batch_df.isEmpty():
+            return
+        index.add_all(batch_df, order_cols=order_cols)
+        applied.add(batch_id)
+
+    if checkpoint is None:
+        # the index lives in this process — a fresh checkpoint per run is
+        # the correct default (replaying old offsets into a new index
+        # object would double-add)
+        import tempfile
+        checkpoint = tempfile.mkdtemp(prefix="slimsearch_stream_ckpt_")
+    writer = (stream.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_build(spark: SparkSession, source_dir: str, out_path: str,
                  config: IndexConfig, schema, checkpoint: Optional[str] = None,
                  available_now: bool = True, finalize: bool = True):

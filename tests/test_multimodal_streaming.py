@@ -11,7 +11,8 @@ from slimsearch_spark.operators.multimodal import (decode_image,
                                                    extract_features,
                                                    fake_feature, synth_media)
 from slimsearch_spark.sources.corpus import synth_corpus
-from slimsearch_spark.streaming.incremental import stream_build
+from slimsearch_spark.streaming.incremental import (stream_build,
+                                                    stream_into_index)
 
 
 def test_decode_is_stubbed():
@@ -73,6 +74,35 @@ def test_stream_build_matches_batch(spark, tmp_path):
     c = loaded.search(q)
     assert {(r["id"], round(r["score"], 9)) for r in c} == \
         {(r["id"], round(r["score"], 9)) for r in b}
+
+
+def test_stream_into_index_serves_segments(spark, tmp_path):
+    """Continuous ingestion into a LIVE index (round 4): each micro-batch
+    appends a compacted segment via add_all — search_topk_wand serves
+    throughout, no index rewrite per batch, and the final top-k equals the
+    exact plan over the whole corpus."""
+    corpus = synth_corpus(spark, 120, tokens_per_file=40)
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    base, rest = corpus.where(i < 60), corpus.where(i >= 60)
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      store_fields=["repo"], auto_vacuum=False)
+    idx = SparkSearchIndex.build(base, cfg, order_cols=["repo", "path"])
+    idx.posting_lists()  # compacted → streamed batches append segments
+    src = str(tmp_path / "stream_src")
+    rest.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+    stream_into_index(spark, src, idx,
+                      schema=spark.read.parquet(src).schema,
+                      max_files_per_trigger=1,
+                      order_cols=["repo", "path"])
+    assert idx.doc_count == 120
+    assert idx._segment_count > 1  # ingest appended, never re-encoded
+    for q in ("the parse", "varint delta merge"):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               idx.search_topk_wand(q, 10, adaptive_min_docs=0).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                idx.search_df(q, top_k=10)
+                .select("doc_id", "score").collect()]
+        assert got == want, q
 
 
 def test_decode_image_optional_dependency():

@@ -1,0 +1,199 @@
+"""Round-4 serving-path features over the compacted index:
+
+* incremental segment compaction — ``add_all`` on a compacted index
+  appends an encoded segment for the new docs instead of invalidating
+  (no full index re-encode per ingest batch; new doc_ids continue from
+  next_id, so segments cover disjoint doc-id ranges and the WAND kernels
+  serve them as independent slices, with per-(term, field) df totals
+  re-aggregated at query time);
+* ``filter`` as a Column / SQL predicate on the WAND path (reference
+  semantics, src/search.ts:199: scores as if unfiltered, failing docs
+  excluded via the decode-time tombstone mechanism);
+* wide expansion over a tombstoned index (the round-3 corner: the live
+  df recount is now a joined DataFrame, never a driver dict).
+
+The oracle everywhere is the exact plan (search_df), itself gated
+against the reference golden sets.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slimsearch_spark.config import IndexConfig
+from slimsearch_spark.engine import SparkSearchIndex
+from slimsearch_spark.sources.corpus import synth_corpus
+
+CFG = IndexConfig(fields=["content"], id_field="path",
+                  store_fields=["repo"], auto_vacuum=False)
+
+
+def _topk(df, k=None):
+    rows = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    return rows[:k] if k else rows
+
+
+def _split_corpus(spark, n=90, tokens=40, cut=60):
+    docs = synth_corpus(spark, n, tokens_per_file=tokens)
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    return docs.where(i < cut), docs.where(i >= cut)
+
+
+def _segmented_index(spark, n=90, cut=60, batches=1):
+    first, rest = _split_corpus(spark, n=n, cut=cut)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()  # compact BEFORE the appends
+    if batches == 1:
+        idx.add_all(rest)
+    else:
+        i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+        for b in range(batches):
+            idx.add_all(rest.where(i % batches == b))
+    return idx
+
+
+def test_add_all_appends_segment_no_reencode(spark):
+    """add_all on a compacted index appends a segment: the pre-existing
+    segment DataFrame is untouched (same object — batch work is O(batch),
+    not O(index)) and the WAND top-k equals the exact plan over the full
+    corpus, including terms whose postings span both segments (wrong df
+    totalization would shift idf and break score equality)."""
+    first, rest = _split_corpus(spark)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    before = idx.posting_lists()
+    idx.add_all(rest)
+    assert idx._segment_count == 2
+    assert idx._segments[0] is before  # old segment never re-encoded
+    for q in ("the", "varint delta merge", "parse tokenizer"):
+        assert _topk(idx.search_topk_wand(q, 10, adaptive_min_docs=0)) == \
+            _topk(idx.search_df(q, top_k=10).select("doc_id", "score")), q
+
+
+def test_segmented_combinators_and_multifield(spark):
+    idx = _segmented_index(spark)
+    for kw in ({"combineWith": "and"}, {"combineWith": "and_not"},
+               {"prefix": True}, {"fuzzy": 1}):
+        got = _topk(idx.search_topk_wand("the merge", 8,
+                                         adaptive_min_docs=0, **kw))
+        want = _topk(idx.search_df("the merge", top_k=8, **kw)
+                     .select("doc_id", "score"))
+        assert got == want, kw
+
+
+def test_three_segments_and_term_dict_incremental(spark):
+    """Several appended batches stack segments; the term dictionary is
+    maintained by a dictionary-sized union, and expansion queries (which
+    read it) stay exact."""
+    idx = _segmented_index(spark, n=100, cut=40, batches=3)
+    assert idx._segment_count >= 2
+    got = _topk(idx.search_topk_wand("pars", 10, adaptive_min_docs=0,
+                                     prefix=True))
+    want = _topk(idx.search_df("pars", top_k=10, prefix=True)
+                 .select("doc_id", "score"))
+    assert got == want
+
+
+def test_segment_cap_falls_back_to_merge(spark):
+    """Past max_segments the next add_all invalidates (full merge on next
+    use) instead of appending — bounded per-(term, field) row fan-out."""
+    first, rest = _split_corpus(spark, n=60, cut=40)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    idx.max_segments = 1
+    idx.add_all(rest)
+    assert getattr(idx, "_posting_lists", None) is None  # merged lazily
+    got = _topk(idx.search_topk_wand("the", 5, adaptive_min_docs=0))
+    assert got == _topk(idx.search_df("the", top_k=5)
+                        .select("doc_id", "score"))
+    assert idx._segment_count == 1
+
+
+def test_segments_with_tombstones(spark):
+    """Discard from the OLD segment after an append: kernels drop the
+    tombstones, the df recount spans both segments."""
+    idx = _segmented_index(spark)
+    victims = [r["path"] for r in
+               idx.docs.select("path").orderBy("path").limit(3).collect()]
+    idx.discard_many(victims)
+    assert idx.has_tombstones() and idx._segment_count == 2
+    got = _topk(idx.search_topk_wand("the parse", 5, adaptive_min_docs=0))
+    want = _topk(idx.search_df("the parse", top_k=5)
+                 .select("doc_id", "score"))
+    assert got == want and len(got) == 5
+
+
+# ------------------------------------------------------------- filter
+
+
+def test_wand_filter_column_and_sql(spark):
+    """Column / SQL-string stored-field predicates are served on the WAND
+    path with reference semantics: same rows+scores as search_df's filter
+    fast path (scores unchanged by the filter, failing docs absent)."""
+    docs = synth_corpus(spark, 80, tokens_per_file=30)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    col_pred = F.col("repo") != "org1/proj1"
+    sql_pred = "repo <> 'org1/proj1'"
+    want = _topk(idx.search_df("the merge", top_k=6, filter=col_pred)
+                 .select("doc_id", "score"))
+    assert want  # predicate must actually bite on this corpus
+    for pred in (col_pred, sql_pred):
+        got = _topk(idx.search_topk_wand("the merge", 6,
+                                         adaptive_min_docs=0, filter=pred))
+        assert got == want, pred
+    # filtered docs excluded but scores must equal the UNFILTERED scores
+    # for surviving docs (reference filter runs after scoring)
+    unfiltered = dict(_topk(
+        idx.search_topk_wand("the merge", 80, adaptive_min_docs=0)))
+    for doc_id, score in got:
+        assert unfiltered[doc_id] == score
+
+
+def test_wand_filter_guards(spark):
+    docs = synth_corpus(spark, 30, tokens_per_file=20)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    with pytest.raises(ValueError, match="callable"):
+        idx.search_topk_wand("the", 5, adaptive_min_docs=0,
+                             filter=lambda r: True)
+    with pytest.raises(ValueError, match="filter_collect_threshold"):
+        idx.search_topk_wand("the", 5, adaptive_min_docs=0,
+                             filter=F.lit(False),
+                             filter_collect_threshold=10)
+
+
+def test_wand_filter_composes_with_discards(spark):
+    docs = synth_corpus(spark, 70, tokens_per_file=30)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    victims = [r["path"] for r in
+               docs.select("path").orderBy("path").limit(3).collect()]
+    idx.discard_many(victims)
+    pred = F.col("repo") != "org2/proj2"
+    got = _topk(idx.search_topk_wand("the", 5, adaptive_min_docs=0,
+                                     filter=pred))
+    want = _topk(idx.search_df("the", top_k=5, filter=pred)
+                 .select("doc_id", "score"))
+    assert got == want and len(got) == 5
+
+
+# ------------------------------------- wide expansion over tombstones
+
+
+def test_wand_wide_expansion_tombstoned(spark):
+    """The round-3 corner is closed: wide (DataFrame) expansions over a
+    discarded, unvacuumed index serve through the pruned path — the live
+    df recount is a join against the expansion's derived terms, not a
+    driver dict."""
+    docs = synth_corpus(spark, 60, tokens_per_file=30)
+    idx = SparkSearchIndex.build(docs, CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    victims = [r["path"] for r in
+               docs.select("path").orderBy("path").limit(4).collect()]
+    idx.discard_many(victims)
+    got = _topk(idx.search_topk_wand("pa", 10, adaptive_min_docs=0,
+                                     prefix=True,
+                                     expansionCollectThreshold=0))
+    want = _topk(idx.search_df("pa", top_k=10, prefix=True)
+                 .select("doc_id", "score"))
+    assert got == want

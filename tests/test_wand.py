@@ -330,13 +330,14 @@ def test_wand_theta0_counts_distinct_docs(spark):
 
 
 def test_wand_rejects_unsupported_options(index):
-    """search_topk_wand raises on unknown combinators / filter /
+    """search_topk_wand raises on unknown combinators / callable filters /
     boostDocument instead of silently mis-scoring (round-2 ADVICE; AND,
-    AND_NOT and multi-field are supported since round 3)."""
+    AND_NOT and multi-field are supported since round 3; Column/SQL
+    filters are SERVED since round 4 — tests/test_segments.py)."""
     with pytest.raises(ValueError, match="combineWith"):
         index.search_topk_wand("the", 5, combineWith="XOR")
     with pytest.raises(ValueError, match="filter"):
-        index.search_topk_wand("the", 5, filter=F.lit(True))
+        index.search_topk_wand("the", 5, filter=lambda fields: True)
     with pytest.raises(ValueError, match="boostDocument"):
         index.search_topk_wand("the", 5, boostDocument=lambda *a: 1.0)
 
