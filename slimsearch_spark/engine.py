@@ -619,13 +619,17 @@ class SparkSearchIndex:
         """Incremental compaction (round 4): encode ONLY the new batch's
         postings as an appended segment of the cached compacted lists.
 
-        Correct without any merge because new doc_ids continue from
-        next_id — every segment covers a disjoint doc-id range, so blocks
-        stay aligned to the absolute doc-id grid and a doc exists in
-        exactly one segment's row per (term, field). The WAND kernels
-        treat segment rows as independent slices; only the per-(term,
-        field) df total is re-aggregated at query time (wand_topk
-        ``segmented``). Previously any add_all invalidated the compacted
+        Correct without any merge because doc ids are unique across
+        segments (add_all enforces it), so a doc exists in exactly one
+        segment's row per (term, field) and blocks stay aligned to the
+        absolute doc-id grid; the WAND kernels treat segment rows as
+        independent slices and group by branch/term, so even INTERLEAVED
+        caller-provided id ranges score correctly (gated by the
+        `wand_topk_discarded` oracle entry, which appends a `% 5` batch).
+        Assign-path appends additionally get disjoint ranges (ids
+        continue from next_id), which keeps each segment's blocks dense
+        on the grid. Only the per-(term, field) df total is re-aggregated
+        at query time (wand_topk ``segmented``). Previously any add_all invalidated the compacted
         lists, forcing a FULL index re-encode before top-k service
         resumed — the per-ingest-batch rewrite that kills a 100 TB index.
 
