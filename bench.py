@@ -87,7 +87,8 @@ def main() -> None:
     bench_queries = [
         "bm25_topk", "wand_topk", "wand_and_topk",
         "wand_and_not_topk", "wand_topk_multifield", "wand_topk_discarded",
-        "bm25_and", "bm25_and_not", "prefix_search", "prefix_search_wide",
+        "bm25_topk_batch", "bm25_and_not", "prefix_search",
+        "prefix_search_wide",
         "fuzzy_search", "autosuggest_fuzzy", "search_filtered",
         "search_doc_boosted", "custom_process_term",
         "dedup_exact", "near_dup_minhash", "simhash64",
@@ -99,7 +100,8 @@ def main() -> None:
     ]
     # consolidated-out driver entries still benched via their q_ functions
     # (wand_topk_adaptive = the production adaptive default)
-    extra = {"wand_topk_adaptive": E.q_wand_topk_adaptive}
+    extra = {"wand_topk_adaptive": E.q_wand_topk_adaptive,
+             "bm25_and": E.q_bm25_and}
     qs = dict(E.queries(), **extra)
     for name in bench_queries + sorted(extra):
         t0 = time.time()

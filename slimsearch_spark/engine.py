@@ -36,8 +36,8 @@ from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats, tokenize_fields)
 from .oracle import js_round
-from .plans.scoring import (combine_results, combine_scored, empty_result,
-                            score_expansion)
+from .plans.scoring import (EXPANSION_SCHEMA, combine_results,
+                            combine_scored, empty_result, score_expansion)
 
 
 def _default_process_term(term: str) -> str:
@@ -573,6 +573,65 @@ class SparkSearchIndex:
         if k:
             out = out.limit(int(k))
         return out
+
+    def search_many_df(self, queries: Sequence[str],
+                       top_k: Optional[int] = None,
+                       **options) -> DataFrame:
+        """Score MANY flat string queries in ONE Spark job →
+        DataFrame(query_id, doc_id, score), per-query top-k when asked.
+
+        A distributed engine pays job-scheduling overhead per action; a
+        query stream served query-by-query spends nearly all its wall
+        clock there. This batches: all queries' expansion rows ship as
+        one broadcast table tagged with query_id, the postings ⋈
+        expansion ⋈ doc_stats join runs once, and one aggregation keyed
+        (query_id, doc_id) folds scoring + combinator + quality for every
+        query (plans/batch.py) — scores are identical to running
+        ``search_df`` per query. ``query_id`` is the position in
+        ``queries``; a query with no matches (or no terms) simply has no
+        rows. Options apply to the whole batch (one combinator, one
+        prefix/fuzzy setting — mixed batches can be unioned by the
+        caller); ``filter``/``boostDocument``/WILDCARD stay on
+        ``search_df``."""
+        opts = {**self._search_options, **options}
+        cw = str(opts.get("combineWith", OR)).lower()
+        if cw not in (OR, AND, AND_NOT):
+            raise ValueError(f"Invalid combination operator: {cw}")
+        for unsupported in ("filter", "boostDocument"):
+            if opts.get(unsupported) is not None:
+                raise ValueError(
+                    f"search_many_df does not support {unsupported}; "
+                    "use search_df per query")
+        from .plans.batch import BATCH_EXPANSION_SCHEMA, score_many
+        fields = opts.get("fields") or list(self.config.fields)
+        field_ids = [self.field_ids[f] for f in fields]
+        boost = opts.get("boost") or {}
+        field_boost_by_id = {self.field_ids[f]: (boost.get(f) or 1.0)
+                             for f in fields}
+        bm25 = {**DEFAULT_BM25, **(opts.get("bm25") or {})}
+        rows: List[tuple] = []
+        wide: List[DataFrame] = []
+        branch_counts: Dict[int, int] = {}
+        for qi, q in enumerate(queries):
+            specs, erows, edfs = self._plan_string_query(q, opts, field_ids)
+            branch_counts[qi] = len(specs)
+            rows.extend((qi,) + tuple(r) for r in erows)
+            for d in edfs:
+                wide.append(d.select(F.lit(qi).cast("int").alias("query_id"),
+                                     *EXPANSION_SCHEMA.fieldNames()))
+        exp = self.spark.createDataFrame(rows, BATCH_EXPANSION_SCHEMA)
+        if wide:
+            for d in wide:
+                exp = exp.unionByName(d)
+            postings = self.live_postings()
+        else:
+            exp = F.broadcast(exp)
+            postings = self._pruned_postings(
+                self.live_postings(), [r[3] for r in rows])
+        return score_many(
+            self.spark, postings, self.doc_stats, exp, field_ids,
+            field_boost_by_id, self.avg_field_length, self.doc_count,
+            bm25, cw, branch_counts, k=top_k)
 
     def posting_lists(self, layout=None) -> DataFrame:
         """Compacted (delta+varint, block-max) posting lists — built lazily
