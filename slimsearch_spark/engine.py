@@ -704,19 +704,27 @@ class SparkSearchIndex:
             max_doc_id=self.next_id - 1,
             doc_stats=new_stats,
             bm25=dict(DEFAULT_BM25),
-            avg_field_length=dict(self.avg_field_length)).cache()
+            avg_field_length=dict(self.avg_field_length))
+        segs = getattr(self, "_segments", None) or [self._posting_lists]
+        # logical segment count can exceed len(segs): a delta-saved index
+        # loads as ONE DataFrame spanning several persisted segments
+        prev_n = max(int(getattr(self, "_segment_count", 1) or 1), len(segs))
+        if "segment" in segs[0].columns:
+            # lists loaded from a (delta-)saved index carry the segment
+            # partition column — stamp the new batch so the union aligns
+            delta = delta.withColumn("segment", F.lit(prev_n))
+        delta = delta.cache()
         delta.count()  # encode the batch now, while its inputs are hot
         # segments stay INDIVIDUALLY cached; the served lists are a lazy
         # union over them — appending batch N never re-reads or re-caches
         # batches 1..N-1 (work per add_all is O(batch), not O(index))
-        segs = getattr(self, "_segments", None) or [self._posting_lists]
         segs.append(delta)
         self._segments = segs
         lists = segs[0]
         for s in segs[1:]:
             lists = lists.unionByName(s)
         self._posting_lists = lists
-        self._segment_count = len(segs)
+        self._segment_count = prev_n + 1
 
     def search_topk_wand(self, query: str, k: int,
                          posting_lists: Optional[DataFrame] = None,

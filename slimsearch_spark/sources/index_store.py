@@ -154,7 +154,12 @@ def save_index(index: SparkSearchIndex, path: str,
         lists = compact_posting_lists(
             live, layout, doc_stats=index.doc_stats,
             avg_field_length=dict(index.avg_field_length))
-        lists.write.mode("overwrite").parquet(f"{path}/posting_lists")
+        # segment=0 partition dir: a full save is always ONE merged
+        # segment; save_index_delta appends segment=1,2,... dirs later
+        # (O(batch) persistence for the LSM ingest path)
+        (lists.withColumn("segment", F.lit(0))
+         .write.mode("overwrite").partitionBy("segment")
+         .parquet(f"{path}/posting_lists"))
         bytes_compressed = (
             index.spark.read.parquet(f"{path}/posting_lists")
             .agg(F.sum("n_bytes")).collect()[0][0])
@@ -177,9 +182,120 @@ def save_index(index: SparkSearchIndex, path: str,
         "lineage": {"saved_at": time.time(),
                     "n_term_buckets": layout.n_term_buckets,
                     "n_doc_buckets": layout.n_doc_buckets,
-                    "block_doc_range": layout.block_doc_range},
+                    "block_doc_range": layout.block_doc_range,
+                    "n_segments": 1 if compact else 0},
     }
     _write_json(f"{path}/manifest.json", manifest, index.spark)
+    return manifest
+
+
+def save_index_delta(index: SparkSearchIndex, path: str) -> dict:
+    """Incremental persistence: append ONLY the docs added since the last
+    save — the storage analog of the engine's in-memory segment append
+    (round 4). A full ``save_index`` is O(index) per call, which turns a
+    10⁹-doc serving index's ingest loop into a full rewrite per batch;
+    this writes O(batch): delta rows appended into the same bucketed
+    partition layouts (docs/doc_stats/postings), batch-only new terms
+    appended to the dictionary (anti-joined against the saved terms so
+    expansion never sees duplicates), and the batch's compacted lists
+    written as a NEW ``segment=<n>`` partition dir of ``posting_lists/``
+    — ``load_index`` then serves the segmented WAND path exactly like an
+    in-memory append (per-(term, field) df totals re-aggregated at query
+    time).
+
+    Preconditions (raise, never corrupt): the path holds a compatible
+    manifest; the index has no live tombstones (a delta cannot rewrite
+    already-saved tables — vacuum + ``save_index`` for that); the new
+    docs' ids all continue past the saved ``next_id`` (the assign path
+    guarantees it; caller-provided interleaved ids need a full save)."""
+    spark = index.spark
+    manifest = _read_json(f"{path}/manifest.json", spark)
+    if manifest.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"save_index_delta: unsupported version {manifest.get('version')}")
+    if index.has_tombstones():
+        raise ValueError(
+            "save_index_delta cannot persist tombstones (already-saved "
+            "tables are immutable); run vacuum() + save_index, or "
+            "save_index for a full compacting rewrite")
+    lineage = manifest.get("lineage", {})
+    layout = IndexLayout(
+        n_term_buckets=lineage.get("n_term_buckets",
+                                   IndexLayout().n_term_buckets),
+        n_doc_buckets=lineage.get("n_doc_buckets",
+                                  IndexLayout().n_doc_buckets),
+        block_doc_range=lineage.get("block_doc_range",
+                                    IndexLayout().block_doc_range))
+    saved_next = int(manifest["next_id"])
+    pred = F.col("doc_id") >= saved_next
+    n_delta = index.docs.where(pred).count()
+    if n_delta != index.doc_count - int(manifest["doc_count"]):
+        raise ValueError(
+            "save_index_delta: delta is not a pure id-range append "
+            f"(doc_count grew by {index.doc_count - manifest['doc_count']} "
+            f"but {n_delta} docs have doc_id >= saved next_id "
+            f"{saved_next}); interleaved ids or removals need save_index")
+    if n_delta == 0:
+        return manifest  # nothing new since the last save
+    docs_delta = index.docs.where(pred)
+    if "doc_bucket" not in docs_delta.columns:
+        docs_delta = docs_delta.withColumn(
+            "doc_bucket", F.pmod(F.xxhash64(index.config.id_field),
+                                 F.lit(layout.n_doc_buckets)).cast("int"))
+    (docs_delta.repartition("doc_bucket")
+     .write.mode("append").partitionBy("doc_bucket")
+     .parquet(f"{path}/docs"))
+    stats_delta = index.doc_stats.where(pred)
+    stats_delta.write.mode("append").parquet(f"{path}/doc_stats")
+    raw_cols = ["term", "field_id", "doc_id", "tf"]
+    post_delta = index.postings.where(pred).select(*raw_cols)
+    (post_delta
+     .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                  F.lit(layout.n_term_buckets)).cast("int"))
+     .repartition("bucket")
+     .sortWithinPartitions("term", "field_id", "doc_id")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
+    n_delta_postings = post_delta.count()
+    saved_terms = _try_read_parquet(spark, f"{path}/terms")
+    if saved_terms is not None:
+        new_terms = (post_delta.select("term", "field_id").distinct()
+                     .join(saved_terms, ["term", "field_id"], "left_anti"))
+        (new_terms.repartitionByRange(1, "term").sortWithinPartitions("term")
+         .write.mode("append").parquet(f"{path}/terms"))
+    bytes_delta = None
+    seg_id = int(lineage.get("n_segments", 1))
+    if seg_id > 0 and _try_read_parquet(
+            spark, f"{path}/posting_lists") is not None:
+        from ..config import DEFAULT_BM25
+        lists = compact_posting_lists(
+            post_delta, layout, max_doc_id=index.next_id - 1,
+            doc_stats=stats_delta, bm25=dict(DEFAULT_BM25),
+            avg_field_length=dict(index.avg_field_length))
+        (lists.withColumn("segment", F.lit(seg_id))
+         .write.mode("append").partitionBy("segment")
+         .parquet(f"{path}/posting_lists"))
+        bytes_delta = (
+            spark.read.parquet(f"{path}/posting_lists")
+            .where(F.col("segment") == seg_id)
+            .agg(F.sum("n_bytes")).collect()[0][0])
+        lineage["n_segments"] = seg_id + 1
+    counters = manifest.get("counters", {})
+    counters["postings_emitted"] = (
+        int(counters.get("postings_emitted") or 0) + n_delta_postings)
+    if bytes_delta is not None:
+        counters["bytes_compressed"] = (
+            int(counters.get("bytes_compressed") or 0) + int(bytes_delta))
+    lineage["saved_at"] = time.time()
+    manifest.update({
+        "doc_count": index.doc_count,
+        "next_id": index.next_id,
+        "avg_field_length": {str(k): v
+                             for k, v in index.avg_field_length.items()},
+        "counters": counters,
+        "lineage": lineage,
+    })
+    _write_json(f"{path}/manifest.json", manifest, spark)
     return manifest
 
 
@@ -220,6 +336,11 @@ def load_index(spark: SparkSession, path: str,
         index._posting_lists_layout = IndexLayout(
             block_doc_range=manifest.get("lineage", {}).get(
                 "block_doc_range", IndexLayout().block_doc_range))
+        # delta saves append segment=1,2,... partition dirs; a segmented
+        # saved index serves through wand_topk's df re-aggregation exactly
+        # like an in-memory segment append
+        index._segment_count = max(
+            1, int(manifest.get("lineage", {}).get("n_segments", 1)))
     return index
 
 

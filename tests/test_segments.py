@@ -122,6 +122,87 @@ def test_segments_with_tombstones(spark):
     assert got == want and len(got) == 5
 
 
+# --------------------------------------------- incremental persistence
+
+
+def test_save_index_delta_roundtrip(spark, tmp_path):
+    """save_index_delta appends only the new batch (docs/stats/postings/
+    terms + a new posting_lists segment dir); the loaded index serves
+    BOTH paths with results identical to the in-memory index."""
+    from slimsearch_spark.sources.index_store import (load_index,
+                                                      save_index,
+                                                      save_index_delta)
+    first, rest = _split_corpus(spark, n=90, cut=60)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    path = str(tmp_path / "ix")
+    save_index(idx, path)
+    idx.add_all(rest)
+    man = save_index_delta(idx, path)
+    assert man["doc_count"] == 90
+    assert man["lineage"]["n_segments"] == 2
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == 90 and loaded._segment_count == 2
+    for q, kw in [("the parse", {}), ("varint delta merge", {}),
+                  ("the merge", {"combineWith": "and"})]:
+        want = _topk(idx.search_df(q, top_k=10, **kw)
+                     .select("doc_id", "score"))
+        got_df = _topk(loaded.search_df(q, top_k=10, **kw)
+                       .select("doc_id", "score"))
+        got_w = _topk(loaded.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                              **kw))
+        assert got_df == want and got_w == want, (q, kw)
+    # point lookup sees the appended rows through the bucketed row store
+    some = rest.select("path").orderBy("path").limit(1).collect()[0]["path"]
+    assert loaded.has(some)
+
+
+def test_save_index_delta_stacks_and_appends_in_memory(spark, tmp_path):
+    """Two delta saves stack persisted segments; add_all on the loaded
+    (segment-columned) index appends an in-memory segment on top."""
+    from slimsearch_spark.sources.index_store import (load_index,
+                                                      save_index,
+                                                      save_index_delta)
+    docs = synth_corpus(spark, 100, tokens_per_file=30)
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    idx = SparkSearchIndex.build(docs.where(i < 50), CFG,
+                                 order_cols=["repo", "path"])
+    path = str(tmp_path / "ix2")
+    save_index(idx, path)
+    idx.add_all(docs.where((i >= 50) & (i < 75)))
+    save_index_delta(idx, path)
+    idx.add_all(docs.where(i >= 75))
+    man = save_index_delta(idx, path)
+    assert man["lineage"]["n_segments"] == 3
+    loaded = load_index(spark, path)
+    assert loaded._segment_count == 3
+    more = (synth_corpus(spark, 10, tokens_per_file=30)
+            .withColumn("path", F.concat(F.lit("extra/"), F.col("path"))))
+    loaded.add_all(more, order_cols=["repo", "path"])
+    assert loaded._segment_count == 4
+    got = _topk(loaded.search_topk_wand("the parse", 10,
+                                        adaptive_min_docs=0))
+    want = _topk(loaded.search_df("the parse", top_k=10)
+                 .select("doc_id", "score"))
+    assert got == want and got
+
+
+def test_save_index_delta_guards(spark, tmp_path):
+    from slimsearch_spark.sources.index_store import (save_index,
+                                                      save_index_delta)
+    first, rest = _split_corpus(spark, n=60, cut=40)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    path = str(tmp_path / "ix3")
+    save_index(idx, path)
+    # no new docs → no-op, manifest unchanged
+    man = save_index_delta(idx, path)
+    assert man["doc_count"] == 40 and man["lineage"]["n_segments"] == 1
+    victims = [r["path"] for r in
+               idx.docs.select("path").orderBy("path").limit(2).collect()]
+    idx.discard_many(victims)
+    with pytest.raises(ValueError, match="tombstones"):
+        save_index_delta(idx, path)
+
+
 # ------------------------------------------------------------- filter
 
 
