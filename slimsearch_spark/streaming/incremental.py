@@ -61,7 +61,8 @@ def stream_into_index(spark: SparkSession, source_dir: str, index,
                       schema, checkpoint: Optional[str] = None,
                       available_now: bool = True,
                       max_files_per_trigger: Optional[int] = None,
-                      order_cols: Optional[list] = None):
+                      order_cols: Optional[list] = None,
+                      persist_path: Optional[str] = None):
     """readStream(parquet dir) → ``index.add_all`` per micro-batch: a LIVE,
     continuously-queryable index (round 4).
 
@@ -77,7 +78,16 @@ def stream_into_index(spark: SparkSession, source_dir: str, index,
     Replay note: foreachBatch may re-deliver a batch after a failure;
     since the index lives in this process (a restart rebuilds it anyway),
     idempotency only needs to hold within the process — applied batch_ids
-    are tracked and replays skipped."""
+    are tracked and replays skipped.
+
+    ``persist_path``: a directory that already holds a saved index (from
+    ``save_index``) — each applied micro-batch is ALSO persisted there
+    via ``save_index_delta`` (O(batch) storage append into the same
+    bucketed layouts + a new posting_lists ``segment=<n>`` dir), so the
+    on-disk index tracks the live one durably: the full LSM loop —
+    ingest O(batch), serve without rewrite, persist O(batch). Delta
+    saves are driver-serial inside foreachBatch, matching the id-range
+    append precondition by construction."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if max_files_per_trigger:
         stream = (spark.readStream.schema(schema)
@@ -89,6 +99,9 @@ def stream_into_index(spark: SparkSession, source_dir: str, index,
         if batch_id in applied or batch_df.isEmpty():
             return
         index.add_all(batch_df, order_cols=order_cols)
+        if persist_path is not None:
+            from ..sources.index_store import save_index_delta
+            save_index_delta(index, persist_path)
         applied.add(batch_id)
 
     if checkpoint is None:

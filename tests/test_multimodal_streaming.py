@@ -105,6 +105,38 @@ def test_stream_into_index_serves_segments(spark, tmp_path):
         assert got == want, q
 
 
+def test_stream_into_index_persists_deltas(spark, tmp_path):
+    """persist_path closes the LSM loop: each micro-batch appends an
+    in-memory segment AND a durable save_index_delta — the reloaded
+    on-disk index equals the live one."""
+    from slimsearch_spark.sources.index_store import load_index, save_index
+    corpus = synth_corpus(spark, 90, tokens_per_file=30)
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    base, rest = corpus.where(i < 60), corpus.where(i >= 60)
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      store_fields=["repo"], auto_vacuum=False)
+    idx = SparkSearchIndex.build(base, cfg, order_cols=["repo", "path"])
+    idx.posting_lists()
+    path = str(tmp_path / "ix_stream")
+    save_index(idx, path)
+    src = str(tmp_path / "stream_src2")
+    rest.repartition(2).write.parquet(src)
+    stream_into_index(spark, src, idx,
+                      schema=spark.read.parquet(src).schema,
+                      max_files_per_trigger=1,
+                      order_cols=["repo", "path"], persist_path=path)
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == idx.doc_count == 90
+    assert loaded._segment_count >= 2
+    for q in ("the parse", "varint merge"):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               loaded.search_topk_wand(q, 8, adaptive_min_docs=0).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                idx.search_df(q, top_k=8)
+                .select("doc_id", "score").collect()]
+        assert got == want, q
+
+
 def test_decode_image_optional_dependency():
     """decode_image is a real decoder behind an import-try (round 3):
     with Pillow absent it raises the documented NotImplementedError; with
