@@ -86,6 +86,15 @@ def test_batch_respects_tombstones(spark, idx):
     assert _batch(i2, qs, k=10) == _single(i2, qs, k=10)
 
 
+def test_batch_wide_expansion_df_path(idx):
+    """expansionCollectThreshold=0 forces every query's expansion onto
+    the DataFrame (no-driver-materialization) path; the batched union of
+    per-query expansion DFs must still match per-query search_df."""
+    qs = ["pars", "tok"]
+    opts = {"prefix": True, "expansionCollectThreshold": 0}
+    assert _batch(idx, qs, k=8, **opts) == _single(idx, qs, k=8, **opts)
+
+
 def test_batch_guards(idx):
     with pytest.raises(ValueError, match="filter"):
         idx.search_many_df(["the"], filter=F.lit(True))
