@@ -633,6 +633,41 @@ class SparkSearchIndex:
             field_boost_by_id, self.avg_field_length, self.doc_count,
             bm25, cw, branch_counts, k=top_k)
 
+    def search_topk_wand_many(self, queries: Sequence[str], k: int,
+                              max_concurrency: int = 4,
+                              **options) -> DataFrame:
+        """Concurrent pruned top-k for a query batch →
+        DataFrame(query_id, doc_id, score).
+
+        `search_many_df` amortizes by fusing N queries into one exact
+        plan; this keeps each query on the block-max WAND path (decode
+        skip, θ-pruning) and instead overlaps the JOBS: submissions run
+        from a thread pool inside the one SparkSession, so one query's
+        scheduling/driver gaps are filled by another's stages — standard
+        Spark concurrent-job serving. Results are exactly per-query
+        ``search_topk_wand`` (each top-k is tiny and collected in its
+        own thread, then reassembled). Shared lazy state (compacted
+        lists, term dictionary) is materialized once BEFORE the pool —
+        the lazy builders are not thread-safe, the serving path is."""
+        self.posting_lists()
+        opts = {**self._search_options, **options}
+        if opts.get("prefix") or opts.get("fuzzy"):
+            fields = opts.get("fields") or list(self.config.fields)
+            self.term_dictionary([self.field_ids[f] for f in fields]).count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(qi_q):
+            qi, q = qi_q
+            rows = self.search_topk_wand(q, k, **options).collect()
+            return [(qi, int(r["doc_id"]), float(r["score"]))
+                    for r in rows]
+
+        with ThreadPoolExecutor(max(1, int(max_concurrency))) as ex:
+            parts = list(ex.map(one, enumerate(queries)))
+        return self.spark.createDataFrame(
+            [r for part in parts for r in part],
+            "query_id int, doc_id long, score double")
+
     def posting_lists(self, layout=None) -> DataFrame:
         """Compacted (delta+varint, block-max) posting lists — built lazily
         from the live postings and cached. The WAND query path's storage."""

@@ -104,6 +104,22 @@ def test_batch_guards(idx):
         idx.search_many_df(["the"], combineWith="XOR")
 
 
+def test_wand_many_concurrent_equals_sequential(idx):
+    """search_topk_wand_many: thread-pooled pruned serving returns exactly
+    the per-query WAND (== exact) results."""
+    qs = ["the parse", "varint delta merge", "spark shuffle", "tokenizer"]
+    got = {}
+    for r in idx.search_topk_wand_many(qs, 8, max_concurrency=3,
+                                       adaptive_min_docs=0).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qi, q in enumerate(qs):
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                idx.search_df(q, top_k=8)
+                .select("doc_id", "score").collect()]
+        assert got.get(qi, []) == want, q
+
+
 def test_batch_single_plan_one_job(idx):
     """The whole batch is ONE DataFrame whose plan contains a single
     postings-join subtree — materializing it is one job regardless of
