@@ -93,6 +93,19 @@ def _read_json(path: str, spark: Optional[SparkSession] = None) -> dict:
     return json.loads(data)
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a directory if it exists — local fast path,
+    Hadoop FS for remote index roots. Used to clear state a full save
+    compacts away (the persisted tombstone table)."""
+    if "://" not in path:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _json_exists(path: str, spark: Optional[SparkSession] = None) -> bool:
     """Filesystem-agnostic existence probe for a JSON file (incl. the
     torn-write .tmp fallback on remote roots)."""
@@ -163,6 +176,9 @@ def save_index(index: SparkSearchIndex, path: str,
         bytes_compressed = (
             index.spark.read.parquet(f"{path}/posting_lists")
             .agg(F.sum("n_bytes")).collect()[0][0])
+    # a full save compacts tombstones away; a stale tombstones/ dir from
+    # earlier delta saves would re-delete live docs on the next load
+    _delete_path(index.spark, f"{path}/tombstones")
     manifest = {
         "version": MANIFEST_VERSION,
         "engine": "slimsearch_spark",
@@ -203,21 +219,25 @@ def save_index_delta(index: SparkSearchIndex, path: str) -> dict:
     in-memory append (per-(term, field) df totals re-aggregated at query
     time).
 
+    Tombstones persist as a delta too (round 4, session 3): discards
+    between saves land in ``<path>/tombstones/`` (the full live set,
+    overwritten — it only grows between vacuums and is tiny next to the
+    index), with ``dirt_count`` recorded in the manifest; ``load_index``
+    restores them, so a discard batch on a serving index is O(batch)
+    persisted instead of forcing the O(index) vacuum + ``save_index``
+    rewrite. A full save still compacts them away (and deletes the dir).
+
     Preconditions (raise, never corrupt): the path holds a compatible
-    manifest; the index has no live tombstones (a delta cannot rewrite
-    already-saved tables — vacuum + ``save_index`` for that); the new
-    docs' ids all continue past the saved ``next_id`` (the assign path
-    guarantees it; caller-provided interleaved ids need a full save)."""
+    manifest; the new docs' ids all continue past the saved ``next_id``
+    (the assign path guarantees it; caller-provided interleaved ids need
+    a full save); no in-place rewrite happened since the save (vacuum /
+    remove of already-saved docs — those mutate tables a delta cannot
+    touch, detected via the (doc_count + dirt_count) invariant)."""
     spark = index.spark
     manifest = _read_json(f"{path}/manifest.json", spark)
     if manifest.get("version") != MANIFEST_VERSION:
         raise ValueError(
             f"save_index_delta: unsupported version {manifest.get('version')}")
-    if index.has_tombstones():
-        raise ValueError(
-            "save_index_delta cannot persist tombstones (already-saved "
-            "tables are immutable); run vacuum() + save_index, or "
-            "save_index for a full compacting rewrite")
     lineage = manifest.get("lineage", {})
     layout = IndexLayout(
         n_term_buckets=lineage.get("n_term_buckets",
@@ -227,15 +247,42 @@ def save_index_delta(index: SparkSearchIndex, path: str) -> dict:
         block_doc_range=lineage.get("block_doc_range",
                                     IndexLayout().block_doc_range))
     saved_next = int(manifest["next_id"])
+    saved_dirt = int(manifest.get("dirt_count", 0) or 0)
     pred = F.col("doc_id") >= saved_next
     n_delta = index.docs.where(pred).count()
-    if n_delta != index.doc_count - int(manifest["doc_count"]):
+    # discard moves a doc from doc_count to dirt_count, so their sum is
+    # invariant under tombstoning and grows only by appended docs; any
+    # in-place rewrite since the save (vacuum dropped dead rows the saved
+    # tables still hold, remove/removeAll of saved docs) breaks the
+    # equality and must go through a full compacting save_index
+    expected = ((index.doc_count + index.dirt_count)
+                - (int(manifest["doc_count"]) + saved_dirt))
+    if n_delta != expected:
         raise ValueError(
             "save_index_delta: delta is not a pure id-range append "
-            f"(doc_count grew by {index.doc_count - manifest['doc_count']} "
+            f"(doc_count + dirt_count grew by {expected} "
             f"but {n_delta} docs have doc_id >= saved next_id "
-            f"{saved_next}); interleaved ids or removals need save_index")
+            f"{saved_next}); interleaved ids, eager removes of saved "
+            "docs, or a post-save vacuum need save_index")
+    dirt_changed = index.dirt_count != saved_dirt
+    if dirt_changed:
+        live_tomb = index._all_tombstones()
+        if live_tomb is None:
+            raise ValueError(
+                "save_index_delta: dirt_count changed but no tombstones "
+                "are live (post-save vacuum?); run save_index")
+        # full current set, overwritten: it only grows between vacuums
+        (live_tomb.select("doc_id")
+         .write.mode("overwrite").parquet(f"{path}/tombstones"))
+        manifest["dirt_count"] = index.dirt_count
     if n_delta == 0:
+        if dirt_changed:  # tombstone-only delta (a pure discard batch)
+            manifest["doc_count"] = index.doc_count
+            manifest["avg_field_length"] = {
+                str(k): v for k, v in index.avg_field_length.items()}
+            lineage["saved_at"] = time.time()
+            manifest["lineage"] = lineage
+            _write_json(f"{path}/manifest.json", manifest, spark)
         return manifest  # nothing new since the last save
     docs_delta = index.docs.where(pred)
     if "doc_bucket" not in docs_delta.columns:
@@ -326,6 +373,25 @@ def load_index(spark: SparkSession, path: str,
     # probe optional tables via spark.read, not os.path.exists: the index
     # directory may live on S3/HDFS where local-FS checks always fail and
     # would silently drop the term dictionary / compacted WAND lists
+    # delta-saved tombstones: restore the discard state so loads never
+    # resurrect docs discarded since the last full save. Small sets come
+    # back as the driver list (broadcast anti-join form), large ones stay
+    # a DataFrame (the discard_where scale form)
+    dirt = int(manifest.get("dirt_count", 0) or 0)
+    if dirt:
+        tomb = _try_read_parquet(spark, f"{path}/tombstones")
+        if tomb is None:
+            raise ValueError(
+                "cannot load index: manifest records dirt_count "
+                f"{dirt} but no tombstones/ table exists at {path}")
+        if dirt <= 100_000:
+            index.tombstones = sorted(
+                int(r["doc_id"]) for r in tomb.select("doc_id").collect())
+        else:
+            t = tomb.select("doc_id").cache()
+            index._tombstone_df = t
+            index._tombstone_caches.append(t)
+        index.dirt_count = dirt
     terms = _try_read_parquet(spark, f"{path}/terms")
     if terms is not None:
         index._term_dict = terms

@@ -186,6 +186,54 @@ def test_save_index_delta_stacks_and_appends_in_memory(spark, tmp_path):
     assert got == want and got
 
 
+def test_save_index_delta_persists_tombstones(spark, tmp_path):
+    """Discards persist as a delta too: the tombstone set + dirt_count
+    ride the manifest, the loaded index excludes the discarded docs on
+    both query paths, a tombstone-only delta (pure discard batch, no new
+    docs) works, and a later full save compacts the tombstones away."""
+    import os
+    from slimsearch_spark.sources.index_store import (load_index,
+                                                      save_index,
+                                                      save_index_delta)
+    first, rest = _split_corpus(spark, n=90, cut=60)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    path = str(tmp_path / "ixt")
+    save_index(idx, path)
+    idx.add_all(rest)
+    paths = [r["path"] for r in
+             idx.docs.select("path").orderBy("path").limit(4).collect()]
+    idx.discard_many(paths[:3])
+    man = save_index_delta(idx, path)
+    assert man["dirt_count"] == 3 and man["doc_count"] == 87
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == 87 and loaded.dirt_count == 3
+    assert loaded.has_tombstones() and not loaded.has(paths[0])
+    for q, kw in [("the parse", {}), ("the merge", {"combineWith": "and"})]:
+        want = _topk(idx.search_df(q, top_k=10, **kw)
+                     .select("doc_id", "score"))
+        assert _topk(loaded.search_df(q, top_k=10, **kw)
+                     .select("doc_id", "score")) == want, (q, kw)
+        assert _topk(loaded.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                             **kw)) == want, (q, kw)
+    # tombstone-only delta: a discard batch with no new docs
+    loaded.discard(paths[3])
+    man2 = save_index_delta(loaded, path)
+    assert man2["dirt_count"] == 4 and man2["doc_count"] == 86
+    loaded2 = load_index(spark, path)
+    assert loaded2.doc_count == 86 and loaded2.dirt_count == 4
+    want = _topk(loaded.search_df("the parse", top_k=10)
+                 .select("doc_id", "score"))
+    assert _topk(loaded2.search_df("the parse", top_k=10)
+                 .select("doc_id", "score")) == want
+    # a full save compacts tombstones away and removes the persisted set
+    save_index(loaded2, path)
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    loaded3 = load_index(spark, path)
+    assert loaded3.dirt_count == 0 and not loaded3.has_tombstones()
+    assert _topk(loaded3.search_df("the parse", top_k=10)
+                 .select("doc_id", "score")) == want
+
+
 def test_save_index_delta_guards(spark, tmp_path):
     from slimsearch_spark.sources.index_store import (save_index,
                                                       save_index_delta)
@@ -199,7 +247,8 @@ def test_save_index_delta_guards(spark, tmp_path):
     victims = [r["path"] for r in
                idx.docs.select("path").orderBy("path").limit(2).collect()]
     idx.discard_many(victims)
-    with pytest.raises(ValueError, match="tombstones"):
+    idx.vacuum()  # in-place rewrite: saved tables still hold the dead rows
+    with pytest.raises(ValueError, match="save_index"):
         save_index_delta(idx, path)
 
 
