@@ -700,6 +700,11 @@ class SparkSearchIndex:
                 avg_field_length=dict(self.avg_field_length)).cache()
             self._posting_lists_layout = layout
             self._segment_count = 1
+            # every doc encoded so far has doc_id < next_id: postings rows
+            # at or above this floor belong to later-appended segments —
+            # the predicate the tiered merge uses to re-encode ONLY them
+            self._segment_floor = self.next_id
+            self._segments_mergeable = True
         return self._posting_lists
 
     # LSM-style bound: past this many appended segments, the next add_all
@@ -760,6 +765,63 @@ class SparkSearchIndex:
             lists = lists.unionByName(s)
         self._posting_lists = lists
         self._segment_count = prev_n + 1
+
+    def _merge_small_segments(self, postings: Optional[DataFrame] = None,
+                              doc_stats: Optional[DataFrame] = None) -> bool:
+        """Tiered (LSM-style) merge at the ``max_segments`` cap: re-encode
+        ONLY the segments appended since the base compaction into one,
+        leaving the base untouched — O(appended docs), where the previous
+        fallback (full invalidate → re-encode on next use) is O(index).
+        At a 1% ingest-batch ratio that overflow rewrite was ~100× the
+        appended volume; tiered it stays proportional to what arrived.
+
+        Appended rows are identified by ``doc_id >= _segment_floor`` (the
+        next_id at base-compaction time) against the cached postings
+        union — valid only while every appended batch's ids sit above the
+        floor (the assign path guarantees it; a caller-provided batch
+        with interleaved ids clears ``_segments_mergeable`` in add_all
+        and the cap falls back to the full merge). When called from
+        add_all mid-ingest, ``postings``/``doc_stats`` are the PRE-batch
+        snapshots — the incoming batch must not fold into the merged
+        segment, or its subsequent _append_segment would double-count its
+        docs across two segments. → True if merged."""
+        from .config import IndexLayout
+        from .operators.compact import compact_posting_lists
+        segs = getattr(self, "_segments", None)
+        floor = getattr(self, "_segment_floor", None)
+        if (not getattr(self, "_segments_mergeable", False)
+                or floor is None or not segs or len(segs) < 3):
+            return False
+        layout = self._posting_lists_layout or IndexLayout()
+        pred = F.col("doc_id") >= floor
+        src_post = postings if postings is not None else self.postings
+        src_stats = doc_stats if doc_stats is not None else self.doc_stats
+        small_post = src_post.where(pred).select(
+            "term", "field_id", "doc_id", "tf")
+        merged = compact_posting_lists(
+            small_post, layout,
+            max_doc_id=self.next_id - 1,
+            doc_stats=src_stats.where(pred),
+            bm25=dict(DEFAULT_BM25),
+            avg_field_length=dict(self.avg_field_length))
+        base = segs[0]
+        # logical count can exceed len(segs) when the base DataFrame spans
+        # several persisted (delta-saved) segments — preserve that share
+        base_logical = max(
+            1, int(getattr(self, "_segment_count", 1) or 1) - (len(segs) - 1))
+        if "segment" in base.columns:
+            merged = merged.withColumn("segment", F.lit(base_logical))
+        merged = merged.cache()
+        merged.count()  # materialize before dropping the small segments
+        for s in segs[1:]:
+            try:
+                s.unpersist()
+            except Exception:
+                pass
+        self._segments = [base, merged]
+        self._posting_lists = base.unionByName(merged)
+        self._segment_count = base_logical + 1
+        return True
 
     def search_topk_wand(self, query: str, k: int,
                          posting_lists: Optional[DataFrame] = None,
@@ -1320,6 +1382,8 @@ class SparkSearchIndex:
         self._posting_lists_layout = None
         self._segments = None
         self._segment_count = 1
+        self._segment_floor = None
+        self._segments_mergeable = False
         self._term_dict = None
 
     def add_all(self, new_docs: DataFrame,
@@ -1389,18 +1453,34 @@ class SparkSearchIndex:
             new_docs_rows = new_docs_rows.withColumn(
                 "doc_bucket", F.pmod(F.xxhash64(self.config.id_field),
                                      F.lit(self._n_doc_buckets)).cast("int"))
+        # pre-batch snapshots: a tiered merge at the cap must re-encode
+        # only the EARLIER appended segments, never the incoming batch
+        # (which _append_segment adds as its own segment right after)
+        pre_postings, pre_stats = self.postings, self.doc_stats
         self.postings = self.postings.unionByName(new_postings).cache()
         self.doc_stats = self.doc_stats.unionByName(new_stats).cache()
         self.docs = self.docs.unionByName(
             new_docs_rows, allowMissingColumns=True).cache()
         self.doc_count += n_new
         if "doc_id" in new_docs.columns:
-            hi = assigned.agg(F.max("doc_id")).collect()[0][0]
-            self.next_id = max(self.next_id, int(hi) + 1)
+            lo_hi = assigned.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+            self.next_id = max(self.next_id, int(lo_hi[1]) + 1)
+            floor = getattr(self, "_segment_floor", None)
+            if floor is not None and int(lo_hi[0]) < floor:
+                # caller-provided ids interleaved below the base segment's
+                # id ceiling: the floor predicate can no longer separate
+                # appended rows from base rows — the max_segments overflow
+                # must take the full merge, never the tiered one
+                self._segments_mergeable = False
         else:
             self.next_id += n_new
         if (getattr(self, "_posting_lists", None) is not None and n_new
-                and getattr(self, "_segment_count", 1) < self.max_segments):
+                and getattr(self, "_segment_count", 1) >= self.max_segments
+                and not self._merge_small_segments(pre_postings, pre_stats)):
+            # at the cap with no tiered merge possible: full invalidate
+            # (re-encode everything lazily on next use)
+            self._invalidate_posting_lists()
+        if getattr(self, "_posting_lists", None) is not None and n_new:
             # the index is already compacted (WAND-serving): append the
             # batch as a new SEGMENT instead of invalidating — no full
             # re-encode before top-k service resumes (round-4)

@@ -407,6 +407,10 @@ def load_index(spark: SparkSession, path: str,
         # like an in-memory segment append
         index._segment_count = max(
             1, int(manifest.get("lineage", {}).get("n_segments", 1)))
+        # every persisted row has doc_id < the saved next_id: in-memory
+        # appends stacked on top stay tiered-mergeable above this floor
+        index._segment_floor = int(manifest["next_id"])
+        index._segments_mergeable = True
     return index
 
 

@@ -94,8 +94,9 @@ def test_three_segments_and_term_dict_incremental(spark):
 
 
 def test_segment_cap_falls_back_to_merge(spark):
-    """Past max_segments the next add_all invalidates (full merge on next
-    use) instead of appending — bounded per-(term, field) row fan-out."""
+    """Past max_segments with nothing tiered-mergeable (only the base
+    exists) the next add_all invalidates (full merge on next use) instead
+    of appending — bounded per-(term, field) row fan-out."""
     first, rest = _split_corpus(spark, n=60, cut=40)
     idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
     idx.posting_lists()
@@ -106,6 +107,55 @@ def test_segment_cap_falls_back_to_merge(spark):
     assert got == _topk(idx.search_df("the", top_k=5)
                         .select("doc_id", "score"))
     assert idx._segment_count == 1
+
+
+def test_segment_cap_tiered_merge(spark):
+    """At the max_segments cap the appended segments merge into ONE
+    re-encoded segment (O(appended docs)) while the base segment is never
+    touched — the LSM tier. Four batches with cap 3: append, append,
+    (merge → append), (merge → append); base object identity preserved
+    throughout, results exact."""
+    first, rest = _split_corpus(spark, n=100, cut=40)
+    idx = SparkSearchIndex.build(first, CFG, order_cols=["repo", "path"])
+    base = idx.posting_lists()
+    idx.max_segments = 3
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    for b in range(4):
+        idx.add_all(rest.where(i % 4 == b))
+        assert idx._segment_count <= 3
+        assert idx._segments[0] is base  # tiered: base never re-encoded
+    assert idx._segment_count == 3  # [base, merged(b0,b1,b2), b3]
+    for q, kw in [("the parse", {}), ("the merge", {"combineWith": "and"}),
+                  ("pars", {"prefix": True})]:
+        got = _topk(idx.search_topk_wand(q, 10, adaptive_min_docs=0, **kw))
+        want = _topk(idx.search_df(q, top_k=10, **kw)
+                     .select("doc_id", "score"))
+        assert got == want and got, (q, kw)
+
+
+def test_segment_interleaved_ids_disable_tiered_merge(spark):
+    """Caller-provided doc_ids below the base id ceiling interleave into
+    the base range: the floor predicate cannot separate appended rows, so
+    the cap must take the FULL merge (correctness over speed)."""
+    first, rest = _split_corpus(spark, n=60, cut=40)
+    idx = SparkSearchIndex.build(
+        first.withColumn(
+            "doc_id",
+            2 * F.regexp_extract("path", r"file(\d+)\.py", 1).cast("long")),
+        CFG, order_cols=["repo", "path"])
+    idx.posting_lists()
+    idx.max_segments = 3
+    i = F.regexp_extract("path", r"file(\d+)\.py", 1).cast("int")
+    for b in range(3):
+        # odd ids 1..39: interleaved between the base's even ids 0..78,
+        # all below the compaction-time floor (next_id = 79)
+        idx.add_all(rest.where(i % 3 == b)
+                    .withColumn("doc_id", (2 * (i - 40) + 1).cast("long")))
+    assert getattr(idx, "_segments_mergeable", True) is False
+    assert getattr(idx, "_posting_lists", None) is None  # full merge taken
+    got = _topk(idx.search_topk_wand("the parse", 5, adaptive_min_docs=0))
+    assert got == _topk(idx.search_df("the parse", top_k=5)
+                        .select("doc_id", "score")) and len(got) == 5
 
 
 def test_segments_with_tombstones(spark):
