@@ -83,6 +83,33 @@ def main() -> None:
                  idx.search_df(q, top_k=10)
                  .select("doc_id", "score").collect()]
 
+    # tiered merge at the max_segments cap (round-4 session 3): stack two
+    # more batches, then set the cap so the NEXT add_all tiered-merges the
+    # appended segments (O(appended docs), base untouched) before
+    # appending — compare with the O(index) full re-encode below
+    extra = []
+    for i in (2, 3, 4):
+        d = (synth_corpus(spark, batch, tokens_per_file=tpf)
+             .withColumn("path", F.concat(F.lit(f"ingest{i}/"),
+                                          F.col("path")))
+             .repartition(max(2, cores // 4)).cache())
+        d.count()
+        extra.append(d)
+    idx.add_all(extra[0])
+    idx.add_all(extra[1])
+    assert idx._segment_count == 4
+    idx.max_segments = 4
+    base_seg = idx._segments[0]
+    t0 = time.time()
+    idx.add_all(extra[2])  # merge(batches 1-3) + append(batch 4)
+    tiered_overflow_sec = round(time.time() - t0, 3)
+    tiered_ok = (idx._segment_count == 3
+                 and idx._segments[0] is base_seg)
+    tiered_q_sec, tiered_top = wand_secs()
+    tiered_exact = [(r["doc_id"], round(r["score"], 9)) for r in
+                    idx.search_df(q, top_k=10)
+                    .select("doc_id", "score").collect()]
+
     # pre-round-4 behavior: invalidate and re-encode the whole index
     idx._invalidate_posting_lists()
     t0 = time.time()
@@ -96,14 +123,22 @@ def main() -> None:
         "cores": cores,
         "build_sec": build_sec, "compact_sec": compact_sec,
         "append_segment_sec": append_sec,
+        "tiered_overflow_sec": tiered_overflow_sec,
         "full_reencode_sec": reencode_sec,
         "append_speedup": round(reencode_sec / max(append_sec, 1e-9), 2),
+        "tiered_speedup": round(
+            reencode_sec / max(tiered_overflow_sec, 1e-9), 2),
         "n_segments": n_segments,
+        "tiered_base_untouched": tiered_ok,
         "wand_q_sec": {"merged_before": merged_q_sec,
                        "segmented": seg_q_sec,
+                       "tiered": tiered_q_sec,
                        "merged_after": remerged_q_sec},
         "topk_equal_exact": seg_top == exact_top,
-        "topk_equal_merged": seg_top == merged_top,
+        "topk_equal_tiered": tiered_top == tiered_exact,
+        # the full re-encode happens after all four appends — its top-k
+        # must match the tiered state's (same corpus), not seg_top's
+        "topk_equal_merged": tiered_top == merged_top,
     }
     print(json.dumps(out))
 

@@ -31,6 +31,13 @@ DEFAULT_MAX_FUZZY = 6  # reference: src/defaults.ts:31 (maxFuzzy)
 # collected and broadcast (lowest-latency path); larger slices stay as a
 # joined DataFrame so the driver never materializes a wide expansion.
 DEFAULT_EXPANSION_COLLECT_THRESHOLD = 10_000
+# above this many live docs the expansion defaults to the no-collect
+# DataFrame path even when narrow: the broadcast path's per-term isin
+# scan + driver planning loses to the single join as the postings side
+# grows (measured crossover ~250k docs: 1.0x at 100k, 1.18x at 300k,
+# 3.5x at 1M — expansion_scale_probe, BASELINE.md round-4). An explicit
+# expansionCollectThreshold in options always wins over the heuristic.
+DEFAULT_EXPANSION_DF_MIN_DOCS = 250_000
 
 # Callable boostDocument evaluates driver-side over the live doc map (the
 # reference's per-result callback has no distributed form); above this many

@@ -30,7 +30,8 @@ from pyspark.sql import types as T
 
 from .config import (AND, AND_NOT, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
                      DEFAULT_DOC_BOOST_COLLECT_THRESHOLD,
-                     DEFAULT_EXPANSION_COLLECT_THRESHOLD, DEFAULT_MAX_FUZZY,
+                     DEFAULT_EXPANSION_COLLECT_THRESHOLD,
+                     DEFAULT_EXPANSION_DF_MIN_DOCS, DEFAULT_MAX_FUZZY,
                      DEFAULT_WEIGHTS, OR, WILDCARD, IndexConfig)
 from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
@@ -237,8 +238,17 @@ class SparkSearchIndex:
         else:
             cand = cand.withColumn("__lev", F.lit(-1))
 
-        threshold = int(opts.get("expansionCollectThreshold",
-                                 DEFAULT_EXPANSION_COLLECT_THRESHOLD))
+        if "expansionCollectThreshold" in opts:
+            threshold = int(opts["expansionCollectThreshold"])
+        elif self.doc_count >= DEFAULT_EXPANSION_DF_MIN_DOCS:
+            # large corpus: default to the no-collect DataFrame path even
+            # for narrow expansions — the broadcast path's per-term isin
+            # scan + driver planning loses to the single join once the
+            # postings side dominates (measured 3.5x at 1M docs; see
+            # DEFAULT_EXPANSION_DF_MIN_DOCS)
+            threshold = 0
+        else:
+            threshold = DEFAULT_EXPANSION_COLLECT_THRESHOLD
         matched = None
         if threshold > 0:
             # one size-capped probe job: the driver never receives more
