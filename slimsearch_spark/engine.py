@@ -131,6 +131,91 @@ class SparkSearchIndex:
         return cls(spark, config, postings, doc_stats, docs,
                    doc_count, avg_len, next_id=doc_count, cache=cache)
 
+    @classmethod
+    def merge(cls, indexes: Sequence["SparkSearchIndex"],
+              cache: bool = True,
+              check_duplicate_ids: bool = True) -> "SparkSearchIndex":
+        """Merge independently-built shard indexes into ONE servable index
+        — the production pattern for 10^12-file builds: many bounded build
+        jobs (one per corpus shard, each with its own dense doc-id space),
+        then a merge job. The north-star merge ("per-partition inverted
+        indexes ... merged via a salted shuffle on term-hash") happens
+        when the merged index compacts: ``posting_lists()`` runs
+        ``compact_posting_lists`` over the unioned postings, which IS the
+        term-hash shuffle with the skew-salted hot-term path
+        (operators/compact.py). The merge itself is plan surgery only —
+        each shard's live view rides in with its doc ids shifted by the
+        cumulative ``next_id`` offset, so shard-dense ids stay globally
+        dense and the WAND doc-grid stays gap-free.
+
+        Requirements: identical ``fields`` (order included — field_id
+        spaces must align), ``id_field``, and row-store columns across
+        shards; the analysis config (tokenizer / process_term / ...)
+        must also match, which cannot be verified for callables — the
+        caller owns that invariant (same contract as loading a saved
+        index built elsewhere). Shard tombstones are compacted away (the
+        merged index starts clean, like ``save_index``). External-id
+        uniqueness across shards is checked with one narrow aggregation
+        (``check_duplicate_ids=False`` skips it when the sharding key
+        already guarantees disjointness).
+
+        BM25 scores from the merged index are identical to a single
+        full-corpus build: doc_count, avg field lengths, and df all
+        recompute over the union."""
+        if not indexes:
+            raise ValueError("merge: need at least one index")
+        base = indexes[0]
+        cfg = base.config
+        base_cols = set(base.docs.columns)
+        for ix in indexes[1:]:
+            if list(ix.config.fields) != list(cfg.fields):
+                raise ValueError(
+                    "merge: shard field lists differ "
+                    f"({list(ix.config.fields)} vs {list(cfg.fields)}) — "
+                    "field_id spaces would misalign")
+            if ix.config.id_field != cfg.id_field:
+                raise ValueError(
+                    f"merge: shard id_field differs ({ix.config.id_field} "
+                    f"vs {cfg.id_field})")
+            if set(ix.docs.columns) != base_cols:
+                raise ValueError(
+                    "merge: shard row-store columns differ "
+                    f"({sorted(set(ix.docs.columns))} vs "
+                    f"{sorted(base_cols)}) — align store_fields")
+        posts, stats, rows = [], [], []
+        offset = 0
+        for ix in indexes:
+            tomb = ix._all_tombstones()
+            p, s, d = ix.postings, ix.doc_stats, ix.docs
+            if tomb is not None:
+                p = p.join(tomb, "doc_id", "left_anti")
+                s = s.join(tomb, "doc_id", "left_anti")
+                d = d.join(tomb, "doc_id", "left_anti")
+            shifted = (F.col("doc_id") + F.lit(int(offset))).cast("long")
+            posts.append(p.withColumn("doc_id", shifted))
+            stats.append(s.withColumn("doc_id", shifted))
+            rows.append(d.select(*base.docs.columns)
+                        .withColumn("doc_id", shifted))
+            offset += int(ix.next_id)
+        postings_u, stats_u, docs_u = posts[0], stats[0], rows[0]
+        for p, s, d in zip(posts[1:], stats[1:], rows[1:]):
+            postings_u = postings_u.unionByName(p)
+            stats_u = stats_u.unionByName(s)
+            docs_u = docs_u.unionByName(d)
+        if check_duplicate_ids and len(indexes) > 1:
+            dup = (docs_u.groupBy(cfg.id_field).count()
+                   .where(F.col("count") > 1)
+                   .select(cfg.id_field).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"merge: duplicate {cfg.id_field}="
+                    f"{dup[0][cfg.id_field]!r} across shards — every "
+                    "document id must be unique in the merged index")
+        avg_len, _ = corpus_stats(stats_u)
+        doc_count = docs_u.count()
+        return cls(base.spark, cfg, postings_u, stats_u, docs_u,
+                   doc_count, avg_len, next_id=offset, cache=cache)
+
     # ---------------------------------------------------------------- helpers
     def has_tombstones(self) -> bool:
         return bool(self.tombstones) or self._tombstone_df is not None

@@ -497,3 +497,28 @@ def build_resumable(docs_df: DataFrame, config: IndexConfig, path: str,
     }
     _write_json(f"{path}/manifest.json", manifest, spark)
     return manifest
+
+
+def merge_saved_indexes(spark: SparkSession, in_paths: Sequence[str],
+                        out_path: str,
+                        layout: Optional[IndexLayout] = None,
+                        check_duplicate_ids: bool = True) -> dict:
+    """Merge k saved shard layouts into one saved index — the merge JOB of
+    a sharded 10^12-file build (k bounded `build_index.py` runs, then one
+    `merge_indexes.py` run). Loads each shard uncached (the merge plan
+    streams shard parquet straight into the writers — no executor-storage
+    pressure from corpus-sized caches), merges via
+    ``SparkSearchIndex.merge`` (doc-id offsets, BM25 stats recomputed over
+    the union), and writes through ``save_index`` — whose posting-list
+    compaction IS the north-star salted term-hash merge shuffle
+    (operators/compact.py skew path included). Returns the manifest."""
+    if not in_paths:
+        raise ValueError("merge_saved_indexes: need at least one input")
+    shards = [load_index(spark, p, cache=False) for p in in_paths]
+    merged = SparkSearchIndex.merge(
+        shards, cache=False, check_duplicate_ids=check_duplicate_ids)
+    manifest = save_index(merged, out_path, layout=layout)
+    manifest["merge"] = {"inputs": list(in_paths),
+                         "n_shards": len(in_paths)}
+    _write_json(f"{out_path}/manifest.json", manifest, spark)
+    return manifest
