@@ -1597,6 +1597,109 @@ class SparkSearchIndex:
             self._invalidate_posting_lists()
         tokenized.unpersist()
 
+    def absorb(self, other: "SparkSearchIndex") -> None:
+        """Ingest another index's documents WITHOUT re-tokenizing — the
+        continuous-ingestion pattern at very large scale: build a shard
+        index over the new data as a bounded, independently resumable job
+        (`build` / `build_index.py`), then absorb it into the serving
+        index in O(shard): the shard's postings are already tokenized, so
+        absorption is an id-shift + union, and when the serving index is
+        compacted the shard lands as an appended SEGMENT
+        (`_append_segment` — one O(shard) encode, the base lists
+        untouched). `SparkSearchIndex.merge` is the from-scratch
+        consolidation (k shards → one fresh index, O(total) compaction);
+        `absorb` is the incremental form (shard → live serving index,
+        O(shard)). BM25 stats update exactly like `add_all`: running
+        average over the absorbed field-length sums, df recomputed by the
+        serving plans over the union.
+
+        The other index's tombstones compact away (only its live docs
+        ingest); its internal doc ids shift by this index's ``next_id``
+        (dense above the existing range, so the tiered segment merge's
+        floor predicate keeps working). Same config guards as `merge`;
+        the other index is not mutated and remains usable."""
+        cfg = self.config
+        if list(other.config.fields) != list(cfg.fields):
+            raise ValueError(
+                "absorb: field lists differ "
+                f"({list(other.config.fields)} vs {list(cfg.fields)}) — "
+                "field_id spaces would misalign")
+        if other.config.id_field != cfg.id_field:
+            raise ValueError(
+                f"absorb: id_field differs ({other.config.id_field} "
+                f"vs {cfg.id_field})")
+        dup = (other.live_docs()
+               .join(self.live_docs().select(cfg.id_field),
+                     cfg.id_field, "left_semi")
+               .select(cfg.id_field).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"absorb: duplicate ID {dup[0][cfg.id_field]!r} — the "
+                "absorbed index overlaps this one")
+        offset = int(self.next_id)
+        shifted = (F.col("doc_id") + F.lit(offset)).cast("long")
+        tomb = other._all_tombstones()
+        o_post, o_stats, o_docs = other.postings, other.doc_stats, other.docs
+        if tomb is not None:
+            o_post = o_post.join(tomb, "doc_id", "left_anti")
+            o_stats = o_stats.join(tomb, "doc_id", "left_anti")
+            o_docs = o_docs.join(tomb, "doc_id", "left_anti")
+        new_postings = (o_post.select("term", "field_id", "doc_id", "tf")
+                        .withColumn("doc_id", shifted))
+        new_stats = (o_stats.select("doc_id", "field_id", "field_len")
+                     .withColumn("doc_id", shifted))
+        keep = ["doc_id", cfg.id_field] + \
+            [f for f in cfg.store_fields if f in o_docs.columns]
+        new_docs_rows = (o_docs.select(*dict.fromkeys(keep))
+                         .withColumn("doc_id", shifted))
+        n_new = new_docs_rows.count()
+        # running averages, batched — identical to add_all
+        sums = {r["field_id"]: (r["s"], r["c"]) for r in
+                new_stats.groupBy("field_id")
+                .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+                .collect()}
+        for fid, (s, c) in sums.items():
+            old = self.avg_field_length.get(fid, 0.0)
+            self.avg_field_length[fid] = \
+                (old * self.doc_count + s) / (self.doc_count + c)
+        if "bucket" in self.postings.columns and \
+                getattr(self, "_n_term_buckets", None):
+            new_postings = new_postings.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"),
+                                 F.lit(self._n_term_buckets)).cast("int"))
+        if "doc_bucket" in self.docs.columns and \
+                getattr(self, "_n_doc_buckets", None):
+            new_docs_rows = new_docs_rows.withColumn(
+                "doc_bucket", F.pmod(F.xxhash64(cfg.id_field),
+                                     F.lit(self._n_doc_buckets)).cast("int"))
+        pre_postings, pre_stats = self.postings, self.doc_stats
+        self.postings = self.postings.unionByName(new_postings).cache()
+        self.doc_stats = self.doc_stats.unionByName(new_stats).cache()
+        self.docs = self.docs.unionByName(
+            new_docs_rows, allowMissingColumns=True).cache()
+        self.doc_count += n_new
+        self.next_id = offset + int(other.next_id)
+        if (getattr(self, "_posting_lists", None) is not None and n_new
+                and getattr(self, "_segment_count", 1) >= self.max_segments
+                and not self._merge_small_segments(pre_postings, pre_stats)):
+            self._invalidate_posting_lists()
+        if getattr(self, "_posting_lists", None) is not None and n_new:
+            self._append_segment(new_postings, new_stats)
+            if getattr(self, "_term_dict", None) is not None:
+                old_td = self._term_dict
+                td = (old_td
+                      .unionByName(
+                          new_postings.select("term", "field_id").distinct())
+                      .distinct().cache())
+                td.count()
+                try:
+                    old_td.unpersist()
+                except Exception:
+                    pass
+                self._term_dict = td
+        else:
+            self._invalidate_posting_lists()
+
     def replace(self, doc: Mapping[str, Any]) -> None:
         self.discard(doc[self.config.id_field])
         row = self.spark.createDataFrame([doc])

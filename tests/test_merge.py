@@ -134,3 +134,81 @@ def test_merge_saved_indexes_roundtrip(spark, tmp_path, shard_indexes,
     loaded = load_index(spark, out)
     q = "spark posting merge"
     assert _scores(loaded, q) == _scores(full_index, q)
+
+
+# ---------------------------------------------------------------- absorb
+
+def _split(corpus, n, i):
+    return corpus.where(F.pmod(F.xxhash64("path"), F.lit(n)) == i)
+
+
+def test_absorb_matches_full_build(corpus, full_index):
+    base = SparkSearchIndex.build(_split(corpus, 3, 0)
+                                  .unionByName(_split(corpus, 3, 1)),
+                                  CFG, order_cols=["path"])
+    shard = SparkSearchIndex.build(_split(corpus, 3, 2), CFG,
+                                   order_cols=["path"])
+    base.absorb(shard)
+    q = "spark posting merge"
+    assert _scores(base, q) == _scores(full_index, q)
+    assert base.doc_count == corpus.count()
+    ids = [r["doc_id"] for r in base.docs.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_absorb_into_compacted_appends_segment(corpus, full_index):
+    base = SparkSearchIndex.build(_split(corpus, 3, 0)
+                                  .unionByName(_split(corpus, 3, 1)),
+                                  CFG, order_cols=["path"])
+    base.posting_lists()             # compact → absorb must append
+    base_lists = base._posting_lists
+    shard = SparkSearchIndex.build(_split(corpus, 3, 2), CFG,
+                                   order_cols=["path"])
+    shard.posting_lists()            # shard compaction must not interfere
+    base.absorb(shard)
+    assert base._segment_count == 2
+    # the pre-absorb encoded segment is reused object-identically
+    assert base._segments[0] is base_lists
+    q = "spark varint"
+    exact = _scores(full_index, q)
+    top = (base.search_topk_wand(q, 10, adaptive_min_docs=0)
+           .join(base.docs, "doc_id").select("path", "score").collect())
+    assert len(top) == 10
+    for r in top:
+        assert round(r["score"], 9) == exact[r["path"]]
+
+
+def test_absorb_skips_shard_tombstones(corpus):
+    cfg = IndexConfig(fields=["content"], id_field="path",
+                      store_fields=["repo", "lang"], auto_vacuum=False)
+    base = SparkSearchIndex.build(_split(corpus, 2, 0), cfg,
+                                  order_cols=["path"])
+    shard = SparkSearchIndex.build(_split(corpus, 2, 1), cfg,
+                                   order_cols=["path"])
+    victims = [r["path"] for r in
+               shard.docs.select("path").limit(4).collect()]
+    for p in victims:
+        shard.discard(p)
+    n_base = base.doc_count
+    base.absorb(shard)              # doc_count already excludes discards
+    assert base.doc_count == n_base + shard.doc_count
+    assert base.doc_count == corpus.count() - len(victims)
+    got = set(_scores(base, "the"))
+    assert not (got & set(victims))
+
+
+def test_absorb_duplicate_id_raises(shard_indexes):
+    base = SparkSearchIndex.merge(shard_indexes[:2])
+    with pytest.raises(ValueError, match="duplicate"):
+        base.absorb(shard_indexes[0])
+
+
+def test_absorb_field_mismatch_raises(corpus, shard_indexes):
+    other = SparkSearchIndex.build(
+        corpus.limit(10).withColumn("title", F.col("path")),
+        IndexConfig(fields=["content", "title"], id_field="path",
+                    store_fields=["repo", "lang"]),
+        order_cols=["path"])
+    base = SparkSearchIndex.merge(shard_indexes[:2])
+    with pytest.raises(ValueError, match="field lists differ"):
+        base.absorb(other)
