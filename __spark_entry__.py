@@ -549,12 +549,43 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_binary_meta(spark, sf_dir):
-    """Multimodal plumbing: opaque binary column + typed metadata."""
+    """Multimodal plumbing: opaque binary column + typed metadata.
+    (Consolidated out of the driver's 50-entry window in round-4
+    session 4 — media_features gates the same binary-column plumbing
+    through the heavier Arrow mapInPandas path; its slot went to
+    index_merge.)"""
     return (_docs(spark, sf_dir)
             .select("doc_id", F.encode("text", "UTF-8").alias("__b"))
             .select("doc_id",
                     F.octet_length("__b").alias("n_bytes"),
                     F.md5(F.col("__b")).alias("content_md5")))
+
+
+def q_index_merge(spark, sf_dir):
+    """Round-4 session 4: sharded-build merge + incremental absorb (the
+    north-star merge job). THREE independent shard builds over disjoint
+    thirds of the corpus — each with its own dense internal doc-id space
+    and its own corpus stats — then ``SparkSearchIndex.merge`` combines
+    two and ``absorb`` ingests the third into the merged serving index
+    in O(shard) with no re-tokenize. doc_count / avg field lengths / df
+    all recompute over the union, so the BM25 top-10 must be IDENTICAL
+    to one full-corpus build: the oracle is the plain full-corpus BM25
+    (same SQL as bm25_topk) — sharding must be invisible."""
+    key = ("idx_merged", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "ext_id")
+        cfg = IndexConfig(fields=["text"], id_field="ext_id",
+                          store_fields=["lang"])
+        shards = [SparkSearchIndex.build(
+            docs.where(F.pmod("ext_id", F.lit(3)) == i),
+            cfg, order_cols=["ext_id"]) for i in range(3)]
+        merged = SparkSearchIndex.merge(shards[:2])
+        merged.absorb(shards[2])
+        _INDEX_CACHE[key] = merged
+    idx = _INDEX_CACHE[key]
+    return (idx.search_df("spark join merge", top_k=10)
+            .select(F.col("ext_id").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
 
 
 def q_media_features(spark, sf_dir):
@@ -652,7 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
-        "binary_meta": q_binary_meta,
+        "index_merge": q_index_merge,
         "media_features": q_media_features,
         "image_resize": q_image_resize,
         "frame_samples": q_frame_samples,
@@ -1561,10 +1592,8 @@ SELECT user_id, session_id,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM sess GROUP BY 1, 2"""
 
-    sql["binary_meta"] = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-       md5(text) AS content_md5
-FROM documents"""
+    # sharded merge + absorb must be invisible: full-corpus BM25 oracle
+    sql["index_merge"] = sql["bm25_topk"]
 
     sql["media_features"] = """
 SELECT doc_id AS media_id,
