@@ -40,10 +40,22 @@ def tie_groups(rows):
     return by_score
 
 
+def _calibrate() -> float:
+    """Burst-credit canary (same loop as bench.py): ~0.8 s cold-credit,
+    ~3x that drained — absolute numbers at >=2 carry 2-4x inflation."""
+    t0 = time.time()
+    x = 0x9E3779B9
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    assert x >= 0
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     tokens = int(sys.argv[3]) if len(sys.argv) > 3 else 80
+    calibration_sec = _calibrate()
 
     from pyspark.sql import SparkSession, functions as F
     from slimsearch_spark.config import IndexConfig
@@ -72,7 +84,8 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="merge_probe_")
     out = {"n_files": n_files, "n_shards": n_shards,
-           "tokens_per_file": tokens, "cpus": int(cpus)}
+           "tokens_per_file": tokens, "cpus": int(cpus),
+           "calibration_sec": calibration_sec}
     try:
         # leg 1: monolithic build + save
         t0 = time.time()
