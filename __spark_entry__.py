@@ -252,20 +252,26 @@ def q_wand_topk_discarded(spark, sf_dir):
     dropped at block-decode time (round-3 VERDICT #4), with the live df
     recount spanning both segments. The oracle is the plain full-corpus
     BM25 over the live view — segmentation and tombstones must be
-    invisible in the results."""
-    cfg = IndexConfig(fields=["text"], id_field="doc_id",
-                      store_fields=["lang"], auto_vacuum=False)
-    docs = _docs(spark, sf_dir)
-    idx = SparkSearchIndex.build(docs.where(F.col("doc_id") % 5 != 0), cfg,
-                                 order_cols=["doc_id"])
-    idx.posting_lists()  # compact → the next add_all appends a segment
-    idx.add_all(docs.where(F.col("doc_id") % 5 == 0),
-                order_cols=["doc_id"])
-    assert idx._segment_count == 2  # appended, not re-encoded
-    victims = [r["doc_id"] for r in
-               docs.where(F.col("doc_id") % 7 == 0)
-               .select("doc_id").collect()]
-    idx.discard_many(victims)
+    invisible in the results. The constructed fixture is deterministic in
+    sf_dir, so it caches like _index: repeat calls (bench warm-up) measure
+    the tombstoned segmented QUERY, not the fixture construction."""
+    key = ("idx_disc", sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = IndexConfig(fields=["text"], id_field="doc_id",
+                          store_fields=["lang"], auto_vacuum=False)
+        docs = _docs(spark, sf_dir)
+        idx = SparkSearchIndex.build(docs.where(F.col("doc_id") % 5 != 0),
+                                     cfg, order_cols=["doc_id"])
+        idx.posting_lists()  # compact → the next add_all appends a segment
+        idx.add_all(docs.where(F.col("doc_id") % 5 == 0),
+                    order_cols=["doc_id"])
+        assert idx._segment_count == 2  # appended, not re-encoded
+        victims = [r["doc_id"] for r in
+                   docs.where(F.col("doc_id") % 7 == 0)
+                   .select("doc_id").collect()]
+        idx.discard_many(victims)
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
     return (idx.search_topk_wand("spark", 10, adaptive_min_docs=0)
             .select("doc_id", F.round("score", 6).alias("score")))
 
