@@ -23,11 +23,23 @@ def ensure_workers(spark) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    tmp = tempfile.mkdtemp(prefix="slimsearch_pyfiles_")
-    zip_path = shutil.make_archive(
-        os.path.join(tmp, "slimsearch_spark"), "zip",
-        root_dir=os.path.dirname(pkg_dir), base_dir="slimsearch_spark")
-    sc.addPyFile(zip_path)
+    parent = os.path.dirname(pkg_dir)
+    if not os.path.isdir(parent):
+        # zipimported (spark-submit --py-files slimsearch_spark.zip, or a
+        # zip on PYTHONPATH): `parent` IS the archive — ship it verbatim;
+        # make_archive(root_dir=<zipfile>) would raise NotADirectoryError.
+        # With --py-files the executors already have it and re-adding the
+        # identical file is a no-op warning, so failures are ignorable.
+        try:
+            sc.addPyFile(parent)
+        except Exception:
+            pass
+    else:
+        tmp = tempfile.mkdtemp(prefix="slimsearch_pyfiles_")
+        zip_path = shutil.make_archive(
+            os.path.join(tmp, "slimsearch_spark"), "zip",
+            root_dir=parent, base_dir="slimsearch_spark")
+        sc.addPyFile(zip_path)
     sc._slimsearch_shipped = True
 
 
