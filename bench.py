@@ -118,6 +118,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = time.time() - t_total0
+
+    # BASELINE.json headline metric, second half: "rank-identical BM25
+    # top-10 match rate on the slimsearch reference query set". Runs the
+    # reference spec's golden queries (search.spec.ts ranking sets, the
+    # same set tests/test_spark_parity.py gates) through the Spark engine
+    # AND the pure-Python parity oracle; a query matches iff the top-10
+    # docID ranking is identical and every BM25 score agrees at rel-tol
+    # 1e-9. Computed OUTSIDE the timed section (fidelity, not throughput).
+    match_rate, n_ref_queries = _reference_match_rate(spark)
+
     out = {
         "metric": "slimsearch_spark_e2e",
         "value": round(total, 3),
@@ -127,9 +137,80 @@ def main() -> None:
         "cpus": int(cpus),
         "n_docs": n_docs,
         "files_per_sec": round(n_docs / build_sec, 1),
+        "bm25_match_rate": match_rate,
+        "bm25_match_queries": n_ref_queries,
         "calibration_sec": calibration_sec,
     }
     print(json.dumps(out))
+
+
+def _reference_match_rate(spark) -> tuple:
+    """Fraction of the reference query set whose Spark top-10 is
+    rank-identical (docIDs + BM25 scores at rel 1e-9) to the parity
+    oracle. Corpora and queries are the reference's own test data
+    (search.spec.ts:17-36,666-906)."""
+    import math
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from fixtures import BOOKS, MOVIES, SONGS
+    from pyspark.sql import types as T
+    from slimsearch_spark.config import IndexConfig
+    from slimsearch_spark.engine import SparkSearchIndex
+    from slimsearch_spark.oracle import OracleIndex
+
+    def pair(docs, fields, store, id_type):
+        cols = list(dict.fromkeys(["id"] + fields + store))
+        schema = T.StructType(
+            [T.StructField(c, id_type if c == "id" else T.StringType(), True)
+             for c in cols] + [T.StructField("_ord", T.IntegerType(), False)])
+        rows = [tuple(d.get(c) for c in cols) + (i,)
+                for i, d in enumerate(docs)]
+        sdf = spark.createDataFrame(rows, schema)
+        sidx = SparkSearchIndex.build(
+            sdf, IndexConfig(fields=fields, store_fields=store),
+            order_cols=["_ord"])
+        oidx = OracleIndex(fields=fields, store_fields=store)
+        oidx.add_all(docs)
+        return sidx, oidx
+
+    suites = [
+        (pair(BOOKS, ["title", "text"], ["lang", "category"], T.LongType()), [
+            ("vita", {}), ("del", {}),
+            ("vita", {"boost": {"title": 2}}),
+            ("cammin como sottomarino", {}),
+            ("vita cammin", {"combineWith": "AND"}),
+            ("vita cammin", {"combineWith": "AND_NOT"}),
+            ("camin memory", {"fuzzy": 2}),
+            ("comedia", {"fuzzy": 0.6, "maxFuzzy": 3}),
+            ("que", {"prefix": True}),
+            ("cammino quel", {"fuzzy": 0.25, "prefix": True}),
+        ]),
+        (pair(MOVIES, ["title", "description"], ["title"], T.StringType()), [
+            ("lamb", {"fuzzy": 1, "prefix": True}),
+            ("sheep", {"fuzzy": 1, "prefix": True}),
+            ("shaun the sheep", {}),
+            ("shaun the sheep", {"fuzzy": 1, "prefix": True}),
+            ("chirin the sheep", {}),
+            ("judah the sheep", {}),
+            ("bounding sheep", {"fuzzy": 1}),
+        ]),
+        (pair(SONGS, ["song", "artist"], ["song"], T.StringType()), [
+            ("witch queen", {"fuzzy": 1, "prefix": True}),
+            ("queen", {"fuzzy": 1, "prefix": True}),
+        ]),
+    ]
+    matched = total = 0
+    for (sidx, oidx), qs in suites:
+        for q, opts in qs:
+            total += 1
+            got = sidx.search(q, **opts)[:10]
+            want = oidx.search(q, **opts)[:10]
+            ok = ([r["id"] for r in got] == [r["id"] for r in want]
+                  and all(math.isclose(g["score"], w["score"], rel_tol=1e-9)
+                          for g, w in zip(got, want)))
+            matched += ok
+    return (round(matched / total, 4) if total else None), total
 
 
 if __name__ == "__main__":
