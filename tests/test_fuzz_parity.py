@@ -92,6 +92,34 @@ def cases(draw):
     return docs, queries
 
 
+_leaf = st.lists(st.sampled_from(VOCAB), min_size=1, max_size=2).map(" ".join)
+
+
+def _node(children):
+    return st.fixed_dictionaries(
+        {"combineWith": st.sampled_from(["OR", "AND", "AND_NOT"]),
+         "queries": st.lists(children, min_size=1, max_size=3)},
+        optional={"fuzzy": st.sampled_from([1, 0.3]),
+                  "prefix": st.just(True),
+                  "boost": st.just({"title": 2})})
+
+
+# nested {combineWith, queries, ...options} trees — option cascading
+# (Q2): node options apply to the whole subtree unless overridden below
+query_trees = st.recursive(_leaf, _node, max_leaves=5)
+
+
+@st.composite
+def tree_cases(draw):
+    docs = draw(corpora())
+    trees = draw(st.lists(query_trees, min_size=2, max_size=3))
+    suggest_q = draw(_leaf)
+    suggest_opts = {}
+    if draw(st.booleans()):
+        suggest_opts["fuzzy"] = 0.3
+    return docs, trees, suggest_q, suggest_opts
+
+
 def by_id(results):
     out = {}
     for r in results:
@@ -112,16 +140,7 @@ def assert_tie_robust_parity(got, want, ctx):
         f"{ctx}: spark output not score-descending"
 
 
-@pytest.mark.usefixtures("spark")
-# ~10 s/example (a Spark index build + 2-4 distributed searches each);
-# SLIMSEARCH_FUZZ_EXAMPLES=100 for a deeper out-of-CI sweep
-@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "8")),
-          deadline=None,
-          suppress_health_check=[HealthCheck.too_slow,
-                                 HealthCheck.data_too_large])
-@given(case=cases())
-def test_fuzz_search_parity(spark, case):
-    docs, queries = case
+def build_pair(spark, docs):
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("title", T.StringType(), True),
@@ -144,7 +163,53 @@ def test_fuzz_search_parity(spark, case):
             sums[fid] = (s + ln, n + 1)
     for fid, (s, n) in sums.items():
         oidx._avg_field_length[fid] = s / n
+    return sidx, oidx
+
+
+@pytest.mark.usefixtures("spark")
+# ~10 s/example (a Spark index build + 2-4 distributed searches each);
+# SLIMSEARCH_FUZZ_EXAMPLES=100 for a deeper out-of-CI sweep
+@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(case=cases())
+def test_fuzz_search_parity(spark, case):
+    docs, queries = case
+    sidx, oidx = build_pair(spark, docs)
     for q, opts in queries:
         got = sidx.search(q, **opts)
         want = oidx.search(q, **opts)
         assert_tie_robust_parity(got, want, f"query={q!r} opts={opts}")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "6")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(case=tree_cases())
+def test_fuzz_tree_and_suggest_parity(spark, case):
+    """Nested query trees with option cascading (Q2) + auto-suggest.
+
+    Suggestion phrases are compared as exact keys: the phrase is the
+    derived-term sequence in (branch, rank, term, field) match order, so
+    this doubles as a fuzz of the match-ordering contract (round-3 ADVICE
+    term-before-field sort) — a word-order divergence shows up as a
+    missing suggestion key, not just a score delta."""
+    docs, trees, suggest_q, suggest_opts = case
+    sidx, oidx = build_pair(spark, docs)
+    for tree in trees:
+        got = sidx.search(tree)
+        want = oidx.search(tree)
+        assert_tie_robust_parity(got, want, f"tree={tree!r}")
+    got_s = sidx.auto_suggest(suggest_q, **suggest_opts)
+    want_s = oidx.auto_suggest(suggest_q, **suggest_opts)
+    gm = {r["suggestion"]: r["score"] for r in got_s}
+    wm = {r["suggestion"]: r["score"] for r in want_s}
+    ctx = f"suggest={suggest_q!r} opts={suggest_opts}"
+    assert set(gm) == set(wm), \
+        f"{ctx}: suggestion sets differ: {sorted(gm)} != {sorted(wm)}"
+    for k in gm:
+        assert math.isclose(gm[k], wm[k], rel_tol=1e-9), \
+            f"{ctx}: score mismatch for {k!r}: {gm[k]} != {wm[k]}"
