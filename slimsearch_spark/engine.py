@@ -22,7 +22,8 @@ top-k at scale.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+from typing import (Any, Callable, Dict, List, Mapping, Optional, Sequence,
+                    Tuple)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,10 @@ class SparkSearchIndex:
         self.docs = docs
         self.doc_count = doc_count
         self.avg_field_length = avg_field_length
+        # live docs-WITH-field count per field_id — the denominator of the
+        # engine's batch-mean average semantics; lazily computed when the
+        # first maintenance op needs it (build/merge seed it for free)
+        self._field_doc_count: Optional[Dict[int, int]] = None
         self.next_id = next_id
         # tombstones: a driver list for point discards (cheap, broadcast)
         # plus an optional DataFrame for mass discards (discard_where) —
@@ -123,13 +128,15 @@ class SparkSearchIndex:
             postings = postings.cache()
             doc_stats = doc_stats.cache()
             postings.count()                   # fills both caches from the
-            avg_len, _ = corpus_stats(doc_stats)  # single tokenized pass
+            avg_len, fcounts = corpus_stats(doc_stats)  # one tokenized pass
             tokenized.unpersist()
         else:
-            avg_len, _ = corpus_stats(doc_stats)
+            avg_len, fcounts = corpus_stats(doc_stats)
         doc_count = docs.count()
-        return cls(spark, config, postings, doc_stats, docs,
-                   doc_count, avg_len, next_id=doc_count, cache=cache)
+        idx = cls(spark, config, postings, doc_stats, docs,
+                  doc_count, avg_len, next_id=doc_count, cache=cache)
+        idx._field_doc_count = dict(fcounts)  # free seed for _field_counts
+        return idx
 
     @classmethod
     def merge(cls, indexes: Sequence["SparkSearchIndex"],
@@ -211,14 +218,69 @@ class SparkSearchIndex:
                     f"merge: duplicate {cfg.id_field}="
                     f"{dup[0][cfg.id_field]!r} across shards — every "
                     "document id must be unique in the merged index")
-        avg_len, _ = corpus_stats(stats_u)
+        avg_len, fcounts = corpus_stats(stats_u)
         doc_count = docs_u.count()
-        return cls(base.spark, cfg, postings_u, stats_u, docs_u,
-                   doc_count, avg_len, next_id=offset, cache=cache)
+        idx = cls(base.spark, cfg, postings_u, stats_u, docs_u,
+                  doc_count, avg_len, next_id=offset, cache=cache)
+        idx._field_doc_count = dict(fcounts)
+        return idx
 
     # ---------------------------------------------------------------- helpers
     def has_tombstones(self) -> bool:
         return bool(self.tombstones) or self._tombstone_df is not None
+
+    def _field_counts(self) -> Dict[int, int]:
+        """Live docs-with-field count per field_id — the denominator of
+        the engine's average-field-length semantics: the order-free batch
+        mean over docs that HAVE the field (SURVEY P3; the reference's
+        running average divides by the all-docs count, add.ts:98, which
+        is order-dependent for sparse fields and not reproducible batch
+        -wise). Incremental add/discard/remove updates used doc_count
+        here before round 4 session 6 — correct for dense fields (the
+        counts coincide) but a semantic hybrid for sparse ones; found by
+        the maintenance fuzz (tests/test_fuzz_parity.py). Lazily computed
+        from live doc_stats (one narrow aggregation), then maintained
+        incrementally by the maintenance ops."""
+        if self._field_doc_count is None:
+            stats = self.doc_stats
+            tomb = self._all_tombstones()
+            if tomb is not None:
+                stats = stats.join(tomb, "doc_id", "left_anti")
+            self._field_doc_count = {
+                r["field_id"]: int(r["c"]) for r in
+                stats.groupBy("field_id")
+                .agg(F.count("*").alias("c")).collect()}
+        return self._field_doc_count
+
+    def _remove_field_stats(self, sums) -> None:
+        """Batch inverse of the per-field mean for removed docs: rows are
+        (field_id, s=Σfield_len, c=doc count) of the victims. MUST run
+        BEFORE the victims land in tombstones / leave doc_stats (the lazy
+        `_field_counts` reads the current live view)."""
+        counts = dict(self._field_counts())
+        for r in sums:
+            fid, s, c = r["field_id"], r["s"], r["c"]
+            cf = counts.get(fid, 0)
+            old = self.avg_field_length.get(fid, 0.0)
+            if cf - c <= 0:
+                self.avg_field_length[fid] = 0.0
+                counts[fid] = 0
+            else:
+                self.avg_field_length[fid] = (old * cf - s) / (cf - c)
+                counts[fid] = cf - c
+        self._field_doc_count = counts
+
+    def _add_field_stats(self, sums: Dict[int, Tuple[int, int]]) -> None:
+        """Batch update of the per-field mean for added docs:
+        {field_id: (Σfield_len, doc count)} of the new batch. MUST run
+        BEFORE the batch lands in doc_stats."""
+        counts = dict(self._field_counts())
+        for fid, (s, c) in sums.items():
+            cf = counts.get(fid, 0)
+            old = self.avg_field_length.get(fid, 0.0)
+            self.avg_field_length[fid] = (old * cf + s) / (cf + c)
+            counts[fid] = cf + c
+        self._field_doc_count = counts
 
     def _all_tombstones(self) -> Optional[DataFrame]:
         """All tombstoned doc_ids as a DataFrame: the driver list (point
@@ -1262,14 +1324,7 @@ class SparkSearchIndex:
                 .groupBy("field_id")
                 .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
                 .collect())
-        n = self.doc_count
-        for r in sums:
-            fid, s, c = r["field_id"], r["s"], r["c"]
-            if n - c <= 0:
-                self.avg_field_length[fid] = 0.0
-            else:
-                self.avg_field_length[fid] = \
-                    (self.avg_field_length.get(fid, 0.0) * n - s) / (n - c)
+        self._remove_field_stats(sums)
         self.postings = self.postings.join(
             F.broadcast(victims), "doc_id", "left_anti").cache()
         self.doc_stats = self.doc_stats.join(
@@ -1297,6 +1352,7 @@ class SparkSearchIndex:
         self.next_id = 0
         self.dirt_count = 0
         self.avg_field_length = {}
+        self._field_doc_count = {}
         self._invalidate_posting_lists()
 
     def discard(self, ext_id) -> None:
@@ -1310,13 +1366,17 @@ class SparkSearchIndex:
         doc_id = int(row[0]["doc_id"])
         flens = {r["field_id"]: r["field_len"] for r in
                  self.doc_stats.where(F.col("doc_id") == doc_id).collect()}
+        counts = dict(self._field_counts())
         for fid, flen in flens.items():
-            count = self.doc_count
-            if count == 1:
+            count = counts.get(fid, 0)
+            if count <= 1:
                 self.avg_field_length[fid] = 0.0
+                counts[fid] = 0
             else:
                 total = self.avg_field_length.get(fid, 0.0) * count - flen
                 self.avg_field_length[fid] = total / (count - 1)
+                counts[fid] = count - 1
+        self._field_doc_count = counts
         self.tombstones.append(doc_id)
         self.doc_count -= 1
         self.dirt_count += 1
@@ -1344,14 +1404,7 @@ class SparkSearchIndex:
                 .groupBy("field_id")
                 .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
                 .collect())
-        n = self.doc_count
-        for r in sums:
-            fid, s, c = r["field_id"], r["s"], r["c"]
-            old = self.avg_field_length.get(fid, 0.0)
-            if n - c <= 0:
-                self.avg_field_length[fid] = 0.0
-            else:
-                self.avg_field_length[fid] = (old * n - s) / (n - c)
+        self._remove_field_stats(sums)
         self.tombstones.extend(sorted(doc_ids))
         self.doc_count -= len(doc_ids)
         self.dirt_count += len(doc_ids)
@@ -1377,14 +1430,7 @@ class SparkSearchIndex:
         if not n_victims:
             victims.unpersist()
             return 0
-        n = self.doc_count
-        for r in sums:
-            fid, s, c = r["field_id"], r["s"], r["c"]
-            old = self.avg_field_length.get(fid, 0.0)
-            if n - c <= 0:
-                self.avg_field_length[fid] = 0.0
-            else:
-                self.avg_field_length[fid] = (old * n - s) / (n - c)
+        self._remove_field_stats(sums)
         self._tombstone_caches.append(victims)
         if self._tombstone_df is None:
             self._tombstone_df = victims
@@ -1525,14 +1571,12 @@ class SparkSearchIndex:
         new_postings = build_postings(tokenized)
         new_stats = build_doc_stats(tokenized)
         n_new = assigned.count()
-        # running averages, batched: new_avg = (avg*old_n + sum_new)/(old_n+new_n)
+        # running averages, batched: per-field mean extended by the batch
         sums = {r["field_id"]: (r["s"], r["c"]) for r in
                 new_stats.groupBy("field_id")
                 .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
                 .collect()}
-        for fid, (s, c) in sums.items():
-            old = self.avg_field_length.get(fid, 0.0)
-            self.avg_field_length[fid] = (old * self.doc_count + s) / (self.doc_count + c)
+        self._add_field_stats(sums)
         keep = ["doc_id", self.config.id_field] + \
             [f for f in self.config.store_fields if f in assigned.columns]
         if "bucket" in self.postings.columns and \
@@ -1658,10 +1702,7 @@ class SparkSearchIndex:
                 new_stats.groupBy("field_id")
                 .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
                 .collect()}
-        for fid, (s, c) in sums.items():
-            old = self.avg_field_length.get(fid, 0.0)
-            self.avg_field_length[fid] = \
-                (old * self.doc_count + s) / (self.doc_count + c)
+        self._add_field_stats(sums)
         if "bucket" in self.postings.columns and \
                 getattr(self, "_n_term_buckets", None):
             new_postings = new_postings.withColumn(

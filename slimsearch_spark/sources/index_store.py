@@ -191,6 +191,10 @@ def save_index(index: SparkSearchIndex, path: str,
         "dirt_count": 0,  # tombstones are compacted away on save
         "avg_field_length": {str(k): v
                              for k, v in index.avg_field_length.items()},
+        # docs-with-field counts: the batch-mean denominators, persisted so
+        # maintenance ops on a LOADED index skip the lazy doc_stats scan
+        "field_doc_count": {str(k): v
+                            for k, v in index._field_counts().items()},
         "counters": {
             "postings_emitted": n_postings,
             "bytes_compressed": bytes_compressed,
@@ -339,6 +343,8 @@ def save_index_delta(index: SparkSearchIndex, path: str) -> dict:
         "next_id": index.next_id,
         "avg_field_length": {str(k): v
                              for k, v in index.avg_field_length.items()},
+        "field_doc_count": {str(k): v
+                            for k, v in index._field_counts().items()},
         "counters": counters,
         "lineage": lineage,
     })
@@ -368,6 +374,10 @@ def load_index(spark: SparkSession, path: str,
         avg_field_length={int(k): v for k, v in
                           manifest["avg_field_length"].items()},
         next_id=manifest["next_id"], cache=cache)
+    if "field_doc_count" in manifest:
+        index._field_doc_count = {int(k): int(v) for k, v in
+                                  manifest["field_doc_count"].items()}
+    # (older manifests lack the key — _field_counts() recomputes lazily)
     index._n_term_buckets = manifest.get("lineage", {}).get("n_term_buckets")
     index._n_doc_buckets = manifest.get("lineage", {}).get("n_doc_buckets")
     # probe optional tables via spark.read, not os.path.exists: the index

@@ -34,7 +34,7 @@ def finalize_stream_index(spark: SparkSession, out_path: str,
     from ..sources.index_store import MANIFEST_VERSION, _write_json
     doc_stats = spark.read.parquet(f"{out_path}/doc_stats")
     docs = spark.read.parquet(f"{out_path}/docs")
-    avg_len, _ = corpus_stats(doc_stats)
+    avg_len, fcounts = corpus_stats(doc_stats)
     doc_count = docs.count()
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     n_postings = spark.read.parquet(f"{out_path}/postings").count()
@@ -49,6 +49,7 @@ def finalize_stream_index(spark: SparkSession, out_path: str,
         "next_id": int(max_id) + 1 if max_id is not None else 0,
         "dirt_count": 0,
         "avg_field_length": {str(k): v for k, v in avg_len.items()},
+        "field_doc_count": {str(k): v for k, v in fcounts.items()},
         "counters": {"postings_emitted": n_postings,
                      "bytes_compressed": None},
         "lineage": {"saved_at": time.time(), "streamed": True},

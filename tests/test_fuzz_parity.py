@@ -120,6 +120,20 @@ def tree_cases(draw):
     return docs, trees, suggest_q, suggest_opts
 
 
+@st.composite
+def maintenance_cases(draw):
+    docs = draw(corpora())
+    ids = list(range(len(docs)))
+    discard_ids = sorted(draw(st.sets(st.sampled_from(ids),
+                                      max_size=len(ids) - 1)))
+    queries = draw(st.lists(
+        st.tuples(st.lists(st.sampled_from(VOCAB), min_size=1,
+                           max_size=2).map(" ".join),
+                  search_options()),
+        min_size=1, max_size=2))
+    return docs, discard_ids, queries
+
+
 def by_id(results):
     out = {}
     for r in results:
@@ -156,6 +170,14 @@ def build_pair(spark, docs):
     oidx.add_all(docs)
     # P3 normalization (see module docstring): batch mean over docs with
     # the field, replacing the reference's order-dependent running average
+    renormalize_oracle_avg(oidx)
+    return sidx, oidx
+
+
+def renormalize_oracle_avg(oidx):
+    """Re-apply the P3 batch-mean normalization after maintenance ops:
+    the reference's removeFieldLength inverse is order-dependent for
+    sparse fields exactly like the add-side running average."""
     sums: dict = {}
     for flens in oidx._field_length.values():
         for fid, ln in flens.items():
@@ -163,7 +185,6 @@ def build_pair(spark, docs):
             sums[fid] = (s + ln, n + 1)
     for fid, (s, n) in sums.items():
         oidx._avg_field_length[fid] = s / n
-    return sidx, oidx
 
 
 @pytest.mark.usefixtures("spark")
@@ -213,3 +234,38 @@ def test_fuzz_tree_and_suggest_parity(spark, case):
     for k in gm:
         assert math.isclose(gm[k], wm[k], rel_tol=1e-9), \
             f"{ctx}: score mismatch for {k!r}: {gm[k]} != {wm[k]}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "5")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(case=maintenance_cases())
+def test_fuzz_discard_vacuum_parity(spark, case):
+    """Maintenance fuzz: discard a random doc subset, compare search on
+    the tombstoned (lazy-cleanup) index, then vacuum both and compare
+    again. df, doc_count and averages must all reflect the live set on
+    both paths (M1/M3/M6/M7); the P3 batch-mean normalization re-applies
+    after each maintenance step since the reference's removeFieldLength
+    inverse is order-dependent for sparse fields like the add side."""
+    docs, discard_ids, queries = case
+    sidx, oidx = build_pair(spark, docs)
+    for i in discard_ids:
+        sidx.discard(i)
+        oidx.discard(i)
+    renormalize_oracle_avg(oidx)
+    for q, opts in queries:
+        got = sidx.search(q, **opts)
+        want = oidx.search(q, **opts)
+        assert_tie_robust_parity(
+            got, want, f"tombstoned discard={discard_ids} query={q!r}")
+    if discard_ids:
+        sidx.vacuum()
+        oidx.vacuum()
+        renormalize_oracle_avg(oidx)
+        for q, opts in queries:
+            got = sidx.search(q, **opts)
+            want = oidx.search(q, **opts)
+            assert_tie_robust_parity(
+                got, want, f"vacuumed discard={discard_ids} query={q!r}")
