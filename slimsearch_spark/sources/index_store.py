@@ -134,11 +134,11 @@ def save_index(index: SparkSearchIndex, path: str,
     # point maintenance ops (has / get_stored_fields / discard) filter on
     # the literal bucket of their ids → directory-level PartitionFilters
     # pruning instead of a full row-store scan at 10⁹ docs
-    (index.live_docs()
-     .withColumn("doc_bucket",
-                 F.pmod(F.xxhash64(index.config.id_field),
-                        F.lit(layout.n_doc_buckets)).cast("int"))
-     .repartition("doc_bucket")
+    docs_out = (index.live_docs()
+                .withColumn("doc_bucket",
+                            F.pmod(F.xxhash64(index.config.id_field),
+                                   F.lit(layout.n_doc_buckets)).cast("int")))
+    (docs_out.repartition("doc_bucket")
      .write.mode("overwrite").partitionBy("doc_bucket")
      .parquet(f"{path}/docs"))
     live_tomb = index._all_tombstones()
@@ -147,10 +147,10 @@ def save_index(index: SparkSearchIndex, path: str,
         live_stats = live_stats.join(live_tomb, "doc_id", "left_anti")
     live_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     live = index.live_postings()
-    (live
-     .withColumn("bucket",
-                 F.pmod(F.xxhash64("term"),
-                        F.lit(layout.n_term_buckets)).cast("int"))
+    postings_out = live.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"),
+                         F.lit(layout.n_term_buckets)).cast("int"))
+    (postings_out
      .repartition("bucket")
      .sortWithinPartitions("term", "field_id", "doc_id")
      .write.mode("overwrite").partitionBy("bucket")
@@ -173,9 +173,14 @@ def save_index(index: SparkSearchIndex, path: str,
         (lists.withColumn("segment", F.lit(0))
          .write.mode("overwrite").partitionBy("segment")
          .parquet(f"{path}/posting_lists"))
+        # a zero-postings index (all-empty documents — legal, the
+        # reference round-trips an empty index too) writes no part files
+        # under partitionBy, so the read-back can't infer a schema:
+        # fall back to 0 instead of crashing the save
+        lists_rb = _try_read_parquet(index.spark, f"{path}/posting_lists")
         bytes_compressed = (
-            index.spark.read.parquet(f"{path}/posting_lists")
-            .agg(F.sum("n_bytes")).collect()[0][0])
+            int(lists_rb.agg(F.sum("n_bytes")).collect()[0][0] or 0)
+            if lists_rb is not None else 0)
     # a full save compacts tombstones away; a stale tombstones/ dir from
     # earlier delta saves would re-delete live docs on the next load
     _delete_path(index.spark, f"{path}/tombstones")
@@ -198,6 +203,15 @@ def save_index(index: SparkSearchIndex, path: str,
         "counters": {
             "postings_emitted": n_postings,
             "bytes_compressed": bytes_compressed,
+        },
+        # written-table schemas: load_index's fallback when a table dir
+        # holds no part files (empty table under partitionBy) and parquet
+        # schema inference fails — without these, an index saved with
+        # zero live postings (or zero live docs) could never be loaded
+        "schemas": {
+            "docs": docs_out.schema.json(),
+            "doc_stats": live_stats.schema.json(),
+            "postings": postings_out.schema.json(),
         },
         "lineage": {"saved_at": time.time(),
                     "n_term_buckets": layout.n_term_buckets,
@@ -364,10 +378,17 @@ def load_index(spark: SparkSession, path: str,
                          store_fields=manifest["store_fields"],
                          tokenizer=manifest.get("tokenizer", "jvm"))
     # keep the bucket partition column: the engine adds literal
-    # `bucket IN (...)` predicates per query → parquet partition pruning
-    postings = spark.read.parquet(f"{path}/postings")
-    doc_stats = spark.read.parquet(f"{path}/doc_stats")
-    docs = spark.read.parquet(f"{path}/docs")
+    # `bucket IN (...)` predicates per query → parquet partition pruning.
+    # Empty tables (zero live postings / docs) write no part files under
+    # partitionBy and defeat schema inference — fall back to the schema
+    # the save recorded in the manifest
+    schemas = manifest.get("schemas", {})
+    postings = _read_parquet_with_fallback(
+        spark, f"{path}/postings", schemas.get("postings"))
+    doc_stats = _read_parquet_with_fallback(
+        spark, f"{path}/doc_stats", schemas.get("doc_stats"))
+    docs = _read_parquet_with_fallback(
+        spark, f"{path}/docs", schemas.get("docs"))
     index = SparkSearchIndex(
         spark, config, postings, doc_stats, docs,
         doc_count=manifest["doc_count"],
@@ -422,6 +443,27 @@ def load_index(spark: SparkSession, path: str,
         index._segment_floor = int(manifest["next_id"])
         index._segments_mergeable = True
     return index
+
+
+def _read_parquet_with_fallback(spark: SparkSession, path: str,
+                                schema_json: Optional[str]) -> DataFrame:
+    """Read a required index table; when schema inference fails (the dir
+    exists but holds no part files — an empty table written through
+    partitionBy) substitute an empty DataFrame with the manifest-recorded
+    schema. Re-raises when no schema was recorded (pre-round-4 manifests:
+    those saves crashed on empty tables before reaching the manifest, so
+    an existing old save is never empty)."""
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        if not schema_json:
+            raise
+        schema = T.StructType.fromJson(_json.loads(schema_json))
+        return spark.createDataFrame([], schema)
 
 
 def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:

@@ -92,6 +92,35 @@ def test_save_load_roundtrip(spark, corpus, tmp_path):
         load_index(spark, path)
 
 
+def test_save_load_empty_postings_index(spark, tmp_path):
+    """An index with live docs but ZERO postings (every document empty —
+    legal; the reference round-trips an empty index) must save and load:
+    partitionBy writes of empty tables emit no part files, so load falls
+    back to the manifest-recorded schemas. Found by
+    test_fuzz_store_merge.py on its first run — save_index crashed on the
+    posting_lists read-back before even writing the manifest."""
+    from pyspark.sql import types as T
+    sdf = spark.createDataFrame(
+        [(0, None, ""), (1, None, "")],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("title", T.StringType(), True),
+                      T.StructField("text", T.StringType(), True)]))
+    idx = SparkSearchIndex.build(
+        sdf, IndexConfig(fields=["title", "text"], store_fields=[]),
+        order_cols=["id"])
+    path = str(tmp_path / "empty_idx")
+    manifest = save_index(idx, path)
+    assert manifest["counters"]["bytes_compressed"] == 0
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == 2
+    assert loaded.search("a") == []
+    assert loaded.postings.count() == 0
+    # the loaded empty index stays maintainable: add_all then search
+    loaded.add_all(spark.createDataFrame(
+        [(2, "spark", "spark join")], sdf.schema), order_cols=["id"])
+    assert [r["id"] for r in loaded.search("spark")] == [2]
+
+
 def test_save_load_over_fs_uri(spark, corpus, tmp_path):
     """A scheme-qualified index root (file://, standing in for s3a/hdfs)
     routes manifest I/O through the Hadoop FS layer instead of local
