@@ -31,7 +31,8 @@ from pyspark.sql import types as T
 
 from slimsearch_spark.config import IndexConfig, IndexLayout
 from slimsearch_spark.engine import SparkSearchIndex
-from slimsearch_spark.sources.index_store import load_index, save_index
+from slimsearch_spark.sources.index_store import (load_index, save_index,
+                                                  save_index_delta)
 
 VOCAB = ["a", "ab", "abc", "abd", "b", "ba", "spark", "spa", "sparse",
          "don't", "x1", "x2"]
@@ -147,6 +148,44 @@ def test_fuzz_save_load_roundtrip(spark, case, tmp_path_factory):
         for d in wand:
             assert math.isclose(wand[d], want_int[d], rel_tol=1e-9), \
                 f"wand-on-loaded q={q!r}: score {wand[d]} != {want_int[d]}"
+
+
+@st.composite
+def delta_cases(draw):
+    base = draw(docs_strategy(min_n=2, max_n=6))
+    extra = draw(docs_strategy(min_n=1, max_n=4, id_start=len(base)))
+    ids = list(range(len(base) + len(extra)))
+    discard_ids = sorted(draw(st.sets(st.sampled_from(ids),
+                                      max_size=len(ids) - 1)))
+    return base, extra, discard_ids, draw(query_sets)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "3")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(case=delta_cases())
+def test_fuzz_delta_save_roundtrip(spark, case, tmp_path_factory):
+    """The O(batch) persistence path: full save → add_all a batch +
+    discard a random subset → save_index_delta → load. The loaded index
+    must search-match the live one (which itself matches the oracle via
+    test_fuzz_parity) — tombstone restore, segment append, term-dict
+    append and the (doc_count + dirt_count) invariant all under fuzz."""
+    base, extra, discard_ids, qs = case
+    live = _build(spark, base)
+    path = str(tmp_path_factory.mktemp("fuzz_delta"))
+    save_index(live, path, layout=IndexLayout(block_doc_range=4))
+    live.add_all(_df(spark, extra), order_cols=["_ord"])
+    for i in discard_ids:
+        live.discard(i)
+    save_index_delta(live, path)
+    loaded = load_index(spark, path)
+    assert loaded.doc_count == live.doc_count
+    for q, opts in qs:
+        assert_score_maps_equal(
+            _by_ext_id(loaded, q, opts), _by_ext_id(live, q, opts),
+            f"delta discard={discard_ids} q={q!r} opts={opts}")
 
 
 @pytest.mark.usefixtures("spark")
