@@ -99,7 +99,7 @@ def main() -> None:
         "prefix_search_wide",
         "fuzzy_search", "autosuggest_fuzzy", "search_filtered",
         "search_doc_boosted", "custom_process_term",
-        "dedup_exact", "near_dup_minhash", "simhash64",
+        "dedup_exact", "near_dup_minhash", "ngram_jaccard", "simhash64",
         "simhash_near_dup", "lang_id",
         "text_quality", "token_counts", "fingerprint",
         "ann_cosine_topk", "ann_lsh_multiprobe",

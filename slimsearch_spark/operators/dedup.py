@@ -7,6 +7,8 @@ All pure DataFrame ops (no Python in the hot path):
                        md5-derived 32-bit term hash)
 * lsh_candidate_pairs — banded MinHash-LSH bucket join with a bucket-size cap
 * near_dup_pairs     — exact-dup pre-group → LSH candidates → exact Jaccard
+* ngram_jaccard_pairs — direct n-gram Jaccard: rare-shingle inverted-index
+                       self-join candidates → exact Jaccard (no MinHash)
 * simhash64 / simhash16 — tf-weighted SimHash fingerprints
 * simhash_near_dup   — Hamming-banded SimHash pair detection
 
@@ -52,6 +54,13 @@ MINHASH_PARAMS: List[Tuple[int, int]] = [
 # template/boilerplate clusters whose representatives are already mutually
 # similar; the cap bounds worst-case pair fan-out at CAP²/2 per bucket.
 DEFAULT_MAX_BUCKET = 256
+
+# Default df ceiling for ngram_jaccard_pairs candidate shingles: a shingle
+# appearing in more than this many (exact-dedup-collapsed) docs is treated
+# as boilerplate and generates no candidate pairs. Bounds per-shingle pair
+# fan-out at DF²/2; near-duplicate pairs at Jaccard ≥ 0.5 share many
+# shingles, so they are recalled unless EVERY shared shingle is that common.
+DEFAULT_MAX_SHINGLE_DF = 64
 
 
 def term_hash32(col, offset: int = 1):
@@ -153,6 +162,74 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
             .distinct())
 
 
+def _spread_narrow_input(docs: DataFrame,
+                         num_partitions: Optional[int]) -> DataFrame:
+    """Spread a narrow input across cores before the expensive shingle
+    transform. Width is probed via inputFiles() (plan-metadata only — no
+    df.rdd conversion, round-2 VERDICT minor): file sources already wider
+    than the cluster skip the extra shuffle entirely (round-3 ADVICE — the
+    unconditional form REDUCED wide inputs to defaultParallelism);
+    non-file plans (empty file list) still spread, matching the
+    small-input common case. Callers that know better pass
+    ``num_partitions`` (0 = leave as-is)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is not None:
+        if num_partitions > 0:
+            docs = docs.repartition(num_partitions)
+        return docs
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    if not files or len(files) < par:
+        docs = docs.repartition(par)
+    return docs
+
+
+def _collapse_exact_dups(docs: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """Keep one representative (min doc_id) per distinct text.
+
+    Exact duplicates are the dominant duplication mode in crawl data and
+    would otherwise flood candidate buckets with m² identical pairs;
+    exact-duplicate membership itself is ``exact_dedup``'s output."""
+    reps = (exact_dedup(docs, text_col, id_col)
+            .select(F.col("keep_doc_id").alias(id_col)))
+    return docs.join(reps, id_col, "left_semi")
+
+
+def _verify_jaccard(cands: DataFrame, terms: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    cands: (a, b) with a < b; terms: cached (doc_id, term) distinct sets.
+    → (a, b, jaccard) for pairs with Jaccard ≥ threshold. Prunes term sets
+    to candidate docs first (left_semi), then intersects on the composite
+    (doc, term) key — an equi-join, never an |A|×|B| blowup per pair."""
+    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cand_docs = (cands.select(F.col("a").alias("doc_id"))
+                 .unionByName(cands.select(F.col("b").alias("doc_id")))
+                 .distinct())
+    cterms = terms.join(cand_docs, "doc_id", "left_semi")
+    inter = (cands
+             .join(cterms.select(F.col("doc_id").alias("a"), "term"), "a")
+             .join(cterms.select(F.col("doc_id").alias("b"), "term"),
+                   ["b", "term"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (cands
+            .join(inter, ["a", "b"], "left")
+            .fillna(0, ["inter"])
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sz_a")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("sz_b")), "b")
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def near_dup_pairs(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 8,
                    rows_per_band: int = 2,
@@ -167,68 +244,67 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
     ≥ threshold. The expensive exact verify runs only on LSH collisions.
 
     With ``dedup_exact_first`` (default), byte-identical texts are first
-    collapsed to one representative (min doc_id per distinct text) and
-    pairs are emitted between representatives only: exact duplicates are
-    the dominant duplication mode in crawl data and would otherwise flood
-    LSH buckets with m² identical-signature pairs. Exact-duplicate
-    membership itself is ``exact_dedup``'s output."""
-    # small-file inputs arrive as one partition — spread the (expensive)
-    # shingle transform across cores before anything else. Width is probed
-    # via inputFiles() (plan-metadata only — no df.rdd conversion, round-2
-    # VERDICT minor): file sources already wider than the cluster skip the
-    # extra shuffle entirely (round-3 ADVICE — the unconditional form
-    # REDUCED wide inputs to defaultParallelism); non-file plans (empty
-    # file list) still spread, matching the small-input common case.
-    # Callers that know better pass ``num_partitions`` (0 = leave as-is).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if num_partitions is not None:
-        if num_partitions > 0:
-            docs = docs.repartition(num_partitions)
-    else:
-        try:
-            files = docs.inputFiles()
-        except Exception:
-            files = []
-        if not files or len(files) < par:
-            docs = docs.repartition(par)
+    collapsed to one representative per distinct text (see
+    ``_collapse_exact_dups``)."""
+    docs = _spread_narrow_input(docs, num_partitions)
     if dedup_exact_first:
-        reps = (exact_dedup(docs, text_col, id_col)
-                .select(F.col("keep_doc_id").alias(id_col)))
-        docs = docs.join(reps, id_col, "left_semi")
+        docs = _collapse_exact_dups(docs, text_col, id_col)
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
     terms.count()  # materialize once; sizes/sigs/verify all re-scan it
-    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # cache the per-doc signatures: the LSH self-join references them on
     # both sides and would otherwise run the MinHash aggregation twice
     sigs = minhash_signatures(terms, k).cache()
     cands = (lsh_candidate_pairs(sigs, k, rows_per_band, max_bucket)
              .cache())
     cands.count()  # cands feeds both the verify join and the final select
-    # exact-verify only LSH-colliding docs: prune term sets to candidate
-    # docs first (left_semi), then intersect on the composite (doc, term)
-    # key — an equi-join, never an |A|×|B| blowup per pair
-    cand_docs = (cands.select(F.col("a").alias("doc_id"))
-                 .unionByName(cands.select(F.col("b").alias("doc_id")))
-                 .distinct())
-    cterms = terms.join(cand_docs, "doc_id", "left_semi")
-    inter = (cands
-             .join(cterms.select(F.col("doc_id").alias("a"), "term"), "a")
-             .join(cterms.select(F.col("doc_id").alias("b"), "term"),
-                   ["b", "term"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    out = (cands
-           .join(inter, ["a", "b"], "left")
-           .fillna(0, ["inter"])
-           .join(sizes.select(F.col("doc_id").alias("a"),
-                              F.col("sz").alias("sz_a")), "a")
-           .join(sizes.select(F.col("doc_id").alias("b"),
-                              F.col("sz").alias("sz_b")), "b")
-           .withColumn("jaccard",
-                       F.col("inter") /
-                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-           .where(F.col("jaccard") >= threshold)
-           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
-    return out
+    return _verify_jaccard(cands, terms, threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5,
+                        shingle_n: int = 3,
+                        max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+                        dedup_exact_first: bool = True,
+                        num_partitions: Optional[int] = None) -> DataFrame:
+    """Direct n-gram Jaccard near-duplicate detection — no MinHash.
+
+    → (a, b, jaccard) for pairs sharing ≥1 *rare* shingle whose exact
+    Jaccard(n-gram shingle sets) ≥ threshold. Candidates come from an
+    inverted-index self-join: shingles with document frequency ≤
+    ``max_shingle_df`` (after exact-dup collapse) pair up every two docs
+    containing them; commoner shingles are boilerplate and generate no
+    candidates, bounding per-shingle pair fan-out at DF²/2.
+
+    Exact recall vs MinHash-LSH trade: this finds every pair that shares
+    at least one sub-boilerplate shingle (no probabilistic banding miss),
+    but misses pairs ALL of whose shared shingles exceed the df cap —
+    those are template families, already capped in the LSH path too. The
+    verify stage is exact and shared with ``near_dup_pairs``, so reported
+    jaccard values are identical between the two operators."""
+    docs = _spread_narrow_input(docs, num_partitions)
+    if dedup_exact_first:
+        docs = _collapse_exact_dups(docs, text_col, id_col)
+    terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
+    terms.count()  # materialize once; candidates + verify re-scan it
+    # inverted-index candidates: rare shingles only. The df filter keys the
+    # same shuffle the verify-stage intersection needs (term), and the
+    # self-join fan-out is bounded by max_shingle_df² per shingle.
+    rare = (terms.groupBy("term")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("term"))
+    rterms = terms.join(rare, "term", "left_semi")
+    left = rterms.alias("l")
+    right = rterms.alias("r")
+    cands = (left.join(right, (F.col("l.term") == F.col("r.term"))
+                       & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b"))
+             .distinct()
+             .cache())
+    cands.count()  # feeds both the verify join and the final select
+    return _verify_jaccard(cands, terms, threshold)
 
 
 def simhash16(docs: DataFrame, text_col: str = "text",

@@ -47,6 +47,28 @@ def test_near_dup_shingles(docs):
     assert raw[(0, 2)] == pairs[(0, 2)]
 
 
+def test_ngram_jaccard_matches_minhash_verify(docs):
+    # the verify stage is shared with near_dup_pairs, so on a corpus where
+    # LSH recalls every rare-shingle pair the two operators agree exactly
+    nj = {(r["a"], r["b"]): r["jaccard"]
+          for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    mh = {(r["a"], r["b"]): r["jaccard"]
+          for r in dd.near_dup_pairs(docs, threshold=0.3).collect()}
+    assert nj == mh
+    assert (0, 2) in nj and 0.3 <= nj[(0, 2)] < 1.0
+    # exact dup (0,1) is pre-collapsed, unrelated docs don't pair
+    assert (0, 1) not in nj
+    assert not any(3 in p or 4 in p for p in nj)
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_shingles(docs):
+    # max_shingle_df=1 means every SHARED shingle is over the cap → no
+    # candidate pairs at all, even though (0,2) are near-duplicates
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.1,
+                                 max_shingle_df=1).collect()
+    assert out == []
+
+
 def test_lsh_bucket_cap(spark):
     """A mass-duplicated template bucket is truncated to its first
     max_bucket members by doc_id — pair fan-out is bounded at m·(m-1)/2
