@@ -806,7 +806,10 @@ class SparkSearchIndex:
         own thread, then reassembled). Shared lazy state (compacted
         lists, term dictionary) is materialized once BEFORE the pool —
         the lazy builders are not thread-safe, the serving path is."""
-        self.posting_lists()
+        # materialize at the layout the per-query calls will request:
+        # pre-building the DEFAULT layout while threads ask for another
+        # would make every thread race the (non-thread-safe) recompaction
+        self.posting_lists(options.get("layout"))
         opts = {**self._search_options, **options}
         if opts.get("prefix") or opts.get("fuzzy"):
             fields = opts.get("fields") or list(self.config.fields)
