@@ -476,8 +476,12 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """Normalized-token-stream md5 fingerprint."""
-    return ts.fingerprint(_docs(spark, sf_dir))
+    """Both document fingerprints in one gated entry: the whole-doc
+    normalized-stream md5 AND the winnowing rolling-hash digest
+    (round 4 — the brief's "rolling hash" fingerprint proper), joined
+    on doc_id."""
+    docs = _docs(spark, sf_dir)
+    return ts.fingerprint(docs).join(ts.winnow_fingerprints(docs), "doc_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1507,12 +1511,19 @@ SELECT doc_id,
            '{ts.BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
 FROM documents"""
 
-    sql["fingerprint"] = r"""
-SELECT doc_id,
-       md5(array_to_string(list_filter(list_transform(
-           regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
-           x -> lower(x)), x -> x <> ''), ' ')) AS fp
-FROM documents"""
+    # whole-doc md5 + winnowing rolling-hash digest (round 4); the winnow
+    # CTE body comes from the same helper that documents the construction
+    sql["fingerprint"] = rf"""
+WITH wtoks AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{{Z}}\p{{P}}]+'),
+             x -> lower(x)), x -> x <> ''), ' '), '') AS norm
+  FROM documents
+),
+w AS ({ts.winnow_fingerprint_sql()})
+SELECT t.doc_id, md5(t.norm) AS fp, w.winnow_fp, w.n_selected
+FROM wtoks t JOIN w USING (doc_id)"""
 
     sql["ann_cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -82,6 +82,108 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.md5(F.array_join(terms, " ")).alias("fp"))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, winnow_fp, n_selected): winnowing rolling-hash document
+    fingerprint (Schleimer/Wilkerson/Aiken, the MOSS scheme — the brief's
+    "rolling hash" fingerprint proper; ``fingerprint`` is the whole-doc
+    digest).
+
+    Over the normalized token stream: 32-bit hashes of every char
+    ``k``-gram, then the set of sliding-``window`` minima — winnowing's
+    guarantee that any match of length ≥ k + window − 1 between two docs
+    shares a selected hash. ``winnow_fp`` digests the sorted distinct
+    selected set (one row per doc, joinable/groupable); ``n_selected`` is
+    that set's size. Documents shorter than one k-gram fingerprint to
+    md5('') with n_selected 0.
+
+    Scale shape: per-row array expressions only — no explode, no shuffle,
+    no Python; the O(len·window) window-min work stays inside one
+    projection, so this sweeps the corpus at parquet-scan speed like the
+    other textstats. The per-gram hash is the portable ``term_hash32``
+    construction (md5 hex prefix base-16), identical in DuckDB."""
+    mins = _winnow_mins(docs, k, window, text_col, id_col)
+    q = """
+SELECT doc_id,
+       md5(array_join(transform(array_sort(array_distinct(mins)),
+                                x -> cast(x AS string)), ',')) AS winnow_fp,
+       size(array_distinct(mins)) AS n_selected
+FROM {mins}"""
+    return docs.sparkSession.sql(q, mins=mins)
+
+
+def winnow_fingerprint_sets(docs: DataFrame, k: int = 8, window: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, minh) distinct selected rolling hashes — the exploded
+    form of ``winnow_fingerprints`` for fingerprint-join matching: two
+    docs sharing any common normalized substring of length ≥
+    k + window − 1 share at least one ``minh`` row (the winnowing
+    guarantee), so an equi-join on ``minh`` is the candidate generator
+    for plagiarism-style local-overlap detection — the same bounded-
+    bucket shape as the other dedup candidate joins."""
+    mins = _winnow_mins(docs, k, window, text_col, id_col)
+    return mins.select("doc_id",
+                       F.explode(F.array_distinct("mins")).alias("minh"))
+
+
+def _winnow_mins(docs: DataFrame, k: int, window: int,
+                 text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, mins): per-doc array of sliding-window minima over the
+    char k-gram rolling hashes of the normalized token stream. ONE
+    spark.sql parse (see simhash64): the nested higher-order expressions
+    build in a single pass instead of per-Column round-trips."""
+    if k < 1 or window < 1:
+        raise ValueError("winnow fingerprint: k and window must be >= 1")
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.array_join(terms_col(F.col(text_col)), " ")
+                       .alias("norm"))
+    q = f"""
+SELECT doc_id,
+       CASE WHEN n_g > 0 THEN
+         transform(sequence(1, greatest(n_g - {window} + 1, 1)),
+                   p -> array_min(slice(grams, p, {window})))
+       ELSE cast(array() AS array<bigint>) END AS mins
+FROM (
+  SELECT doc_id,
+         greatest(length(norm) - {k} + 1, 0) AS n_g,
+         transform(sequence(1, greatest(length(norm) - {k} + 1, 1)),
+                   i -> cast(conv(substring(md5(substring(norm, i, {k})),
+                                            1, 8), 16, 10) AS BIGINT))
+           AS grams
+  FROM {{toks}}
+)"""
+    return docs.sparkSession.sql(q, toks=toks)
+
+
+def winnow_fingerprint_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB oracle for ``winnow_fingerprints`` over the pre-tokenized
+    CTE ``wtoks(doc_id, norm)`` — structurally the same expressions."""
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+    # Spark's array_join is '' — normalize to Spark semantics
+    return f"""
+SELECT doc_id,
+       md5(coalesce(array_to_string(list_sort(list_distinct(mins)), ','),
+                    '')) AS winnow_fp,
+       coalesce(length(list_distinct(mins)), 0)::INT AS n_selected
+FROM (
+  SELECT doc_id,
+         CASE WHEN n_g > 0 THEN
+           list_transform(range(1, greatest(n_g - {window} + 1, 1) + 1),
+                          p -> list_min(grams[p:p+{window}-1]))
+         ELSE []::BIGINT[] END AS mins
+  FROM (
+    SELECT doc_id,
+           greatest(length(norm) - {k} + 1, 0) AS n_g,
+           list_transform(range(1, greatest(length(norm) - {k} + 1, 1) + 1),
+               i -> ('0x' || substring(md5(norm[i:i+{k}-1]), 1, 8))
+                    ::UBIGINT::BIGINT) AS grams
+    FROM wtoks
+  )
+)"""
+
+
 # character-trigram profiles (public linguistics: highest-frequency char
 # trigrams per language) for the n-gram language-ID variant
 TRIGRAM_PROFILES = {

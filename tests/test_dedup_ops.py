@@ -123,6 +123,48 @@ def test_simhash_properties(docs):
     assert all(0 <= v < 2 ** 16 for v in sh.values())
 
 
+def test_winnow_separator_invariance(spark):
+    # the fingerprint is over the NORMALIZED token stream: separator and
+    # punctuation differences must not change it
+    rows = [(0, "The quick,brown fox—jumps over"),
+            (1, "the QUICK brown\nfox jumps    over"),
+            (2, "the quick brown fox jumps under")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["winnow_fp"], r["n_selected"])
+           for r in ts.winnow_fingerprints(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+    assert out[0][1] > 0
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # winnowing guarantee: a common normalized substring of length
+    # >= k + window - 1 (here 8 + 4 - 1 = 11 chars) forces a shared
+    # selected hash; disjoint docs share none
+    common = "alpha beta gamma delta"            # 22 chars normalized
+    rows = [(0, "xxaa yyibb " + common),
+            (1, common + " zzqq wwrr"),
+            (2, "totally unrelated words here nothing shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {}
+    for r in ts.winnow_fingerprint_sets(df).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["minh"])
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
+    assert not (sets[1] & sets[2])
+
+
+def test_winnow_short_doc(spark):
+    # shorter than one k-gram: md5('') digest, zero selected hashes
+    df = spark.createDataFrame([(0, "ab"), (1, "")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: (r["winnow_fp"], r["n_selected"])
+           for r in ts.winnow_fingerprints(df).collect()}
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert out[0] == (empty_md5, 0)
+    assert out[1] == (empty_md5, 0)
+
+
 def test_lang_id(docs):
     out = {r["doc_id"]: r for r in ts.lang_id(docs).collect()}
     assert out[0]["predicted_lang"] == "en"   # two 'the' in 9 tokens
