@@ -466,13 +466,21 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """Quality features: token counts, TTR, mean token length, gate."""
-    return ts.text_quality(_docs(spark, sf_dir))
+    """Both per-row text-metric operators in one gated entry
+    (consolidated in round 4 to free a driver slot for dedup_clusters):
+    quality features (token counts, TTR, mean token length, gate) joined
+    with the whitespace + BPE-ish token counts. Both operators stay
+    independently pytest-covered in tests/test_dedup_ops.py."""
+    docs = _docs(spark, sf_dir)
+    return ts.text_quality(docs).join(ts.token_counts(docs), "doc_id")
 
 
-def q_token_counts(spark, sf_dir):
-    """Whitespace + BPE-ish regex token counting."""
-    return ts.token_counts(_docs(spark, sf_dir))
+def q_dedup_clusters(spark, sf_dir):
+    """Full duplicate clusters (round 4): exact-dup relation ∪ MinHash-LSH
+    near-dup pairs → connected components via distributed min-label
+    propagation with pointer jumping; cluster_id = component min."""
+    return dd.dedup_clusters(_docs(spark, sf_dir), k=8, rows_per_band=2,
+                             threshold=0.5)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -692,7 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
+        "dedup_clusters": q_dedup_clusters,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -1283,8 +1291,7 @@ FROM documents GROUP BY md5(text)"""
         f"  SELECT doc_id, {b} AS band_id, sig_{2 * b}::VARCHAR || '|' || "
         f"sig_{2 * b + 1}::VARCHAR AS band_sig FROM sigs"
         for b in range(4))
-    sql["near_dup_minhash"] = rf"""
-WITH reps AS (
+    near_pair_ctes = rf"""reps AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 live AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
@@ -1334,15 +1341,45 @@ inter AS (
   JOIN tset ta ON ta.doc_id = c.a
   JOIN tset tb ON tb.doc_id = c.b AND tb.term = ta.term
   GROUP BY c.a, c.b
+),
+near AS (
+  SELECT c.a, c.b,
+         round(coalesce(i.i, 0) * 1.0 /
+               (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+  WHERE coalesce(i.i, 0) * 1.0 /
+        (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5
+)"""
+    sql["near_dup_minhash"] = (
+        f"WITH {near_pair_ctes}\nSELECT a, b, jaccard FROM near")
+
+    # full duplicate clusters (round 4): connected components of the
+    # exact-dup relation ∪ the near-dup pair graph, labeled by component
+    # min — the oracle for the distributed min-label-propagation operator
+    # (dedup.cluster_pairs). The recursive walk propagates every label
+    # along symmetric edges; min per vertex = component min.
+    sql["dedup_clusters"] = f"""WITH RECURSIVE {near_pair_ctes},
+exact_map AS (
+  SELECT d.doc_id AS u, r.rep AS v
+  FROM documents d
+  JOIN (SELECT md5(text) AS m, min(doc_id) AS rep
+        FROM documents GROUP BY md5(text)) r ON md5(d.text) = r.m
+),
+edges AS (
+  SELECT u, v FROM exact_map
+  UNION SELECT v, u FROM exact_map
+  UNION SELECT a AS u, b AS v FROM near
+  UNION SELECT b AS u, a AS v FROM near
+),
+walk(u, l) AS (
+  SELECT DISTINCT u, u AS l FROM edges
+  UNION
+  SELECT e.v AS u, w.l FROM walk w JOIN edges e ON e.u = w.u
 )
-SELECT c.a, c.b,
-       round(coalesce(i.i, 0) * 1.0 /
-             (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
-FROM cands c
-LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-JOIN sizes sa ON sa.doc_id = c.a
-JOIN sizes sb ON sb.doc_id = c.b
-WHERE coalesce(i.i, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5"""
+SELECT u AS doc_id, min(l) AS cluster_id FROM walk GROUP BY u"""
 
     # direct n-gram Jaccard (round 4): same shingle/verify CTEs as the
     # MinHash oracle, but candidates come from a rare-shingle (df ≤ cap)
@@ -1483,15 +1520,17 @@ SELECT doc_id,
        {ngram_pred} AS ngram_lang
 FROM t"""
 
-    sql["text_quality"] = r"""
+    # quality features + token counts, one joined entry (round-4 slot
+    # consolidation; see q_text_quality)
+    sql["text_quality"] = rf"""
 WITH t AS (
   SELECT doc_id,
          list_filter(list_transform(
-             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             regexp_split_to_array(text, '[\n\r\p{{Z}}\p{{P}}]+'),
              x -> lower(x)), x -> x <> '') AS terms
   FROM documents
 )
-SELECT doc_id,
+SELECT t.doc_id,
        length(terms)::INT AS n_tokens,
        length(list_distinct(terms))::INT AS n_unique,
        round(length(list_distinct(terms)) * 1.0 /
@@ -1500,16 +1539,12 @@ SELECT doc_id,
              greatest(length(terms), 1), 6) AS mean_token_len,
        (length(terms) >= 10 AND length(terms) <= 100000
         AND length(list_distinct(terms)) * 1.0 /
-            greatest(length(terms), 1) > 0.1) AS is_quality
-FROM t"""
-
-    sql["token_counts"] = rf"""
-SELECT doc_id,
-       length(list_filter(regexp_split_to_array(text, '\s+'),
+            greatest(length(terms), 1) > 0.1) AS is_quality,
+       length(list_filter(regexp_split_to_array(d.text, '\s+'),
                           x -> x <> ''))::INT AS ws_tokens,
-       length(regexp_extract_all(lower(text),
+       length(regexp_extract_all(lower(d.text),
            '{ts.BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
-FROM documents"""
+FROM t JOIN documents d ON d.doc_id = t.doc_id"""
 
     # whole-doc md5 + winnowing rolling-hash digest (round 4); the winnow
     # CTE body comes from the same helper that documents the construction

@@ -100,8 +100,8 @@ def main() -> None:
         "fuzzy_search", "autosuggest_fuzzy", "search_filtered",
         "search_doc_boosted", "custom_process_term",
         "dedup_exact", "near_dup_minhash", "ngram_jaccard", "simhash64",
-        "simhash_near_dup", "lang_id",
-        "text_quality", "token_counts", "fingerprint",
+        "simhash_near_dup", "lang_id", "dedup_clusters",
+        "text_quality", "fingerprint",
         "ann_cosine_topk", "ann_lsh_multiprobe",
         "ann_ivf_topk", "ann_ivf_topk_saved", "embedding_near_dup",
         "events_windowed", "sessionize", "media_features",

@@ -431,3 +431,121 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
                     ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                  max_iter: int = 25) -> DataFrame:
+    """→ (doc_id, cluster_id): connected components of the duplicate-pair
+    graph, labeled by the smallest doc_id in each component — the step
+    that turns pair detection into an actual dedup decision (one
+    canonical survivor per cluster; pairs are not transitive-closed, so
+    A~B, B~C must land A, B, C in ONE cluster even when A~C was never a
+    candidate).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every vertex takes the min label over itself and its
+    neighbors, then labels are compressed through one more self-join
+    (label(v) := label(label(v))), giving O(log diameter) rounds instead
+    of O(diameter). Each round is two shuffle joins + one aggregation on
+    (vertex) keys; lineage is truncated per round (``checkpoint`` when a
+    checkpoint dir is configured — the fault-tolerant choice on a real
+    cluster — else ``localCheckpoint``), so the plan never grows with the
+    iteration count. Convergence is detected by the per-vertex-monotone
+    label sum (labels only decrease), one cheap aggregation per round.
+
+    At 100 TB the edge list is already bounded by the candidate caps of
+    the pair generators (LSH ``max_bucket`` / rare-shingle df ceiling),
+    and near-dup components are shallow (cliquish), so rounds ~2-4.
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning a partial labeling."""
+    spark = pairs.sparkSession
+    half = pairs.select(F.col(a_col).cast("long").alias("u"),
+                        F.col(b_col).cast("long").alias("v"))
+    edges = (half.unionByName(half.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+             .distinct().cache())
+
+    def _snapshot(df: DataFrame) -> DataFrame:
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _snapshot(edges.select(F.col("u").alias("v0"))
+                       .distinct()
+                       .select(F.col("v0").alias("v"),
+                               F.col("v0").alias("label")))
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("v", "nv"),
+                          F.col("v") == F.col("nv"))
+               .groupBy("u").agg(F.min("label").alias("nbr_min")))
+        cand = (labels.join(nbr, labels["v"] == nbr["u"], "left")
+                .select(labels["v"].alias("v"),
+                        F.least(F.col("label"),
+                                F.coalesce("nbr_min", "label"))
+                        .alias("label")))
+        # pointer jump: every label value is itself a vertex, so the
+        # label→label lookup is an inner self-join that always hits
+        lmap = cand.select(F.col("v").alias("l"),
+                           F.col("label").alias("ll"))
+        nxt = _snapshot(cand.join(lmap, cand["label"] == lmap["l"])
+                        .select("v", F.col("ll").alias("label")))
+        cur_sum = nxt.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels.unpersist()
+        labels = nxt
+        if cur_sum == prev_sum:
+            edges.unpersist()
+            return labels.select(F.col("v").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    edges.unpersist()
+    raise RuntimeError(
+        f"cluster_pairs did not converge in {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds 2^max_iter)")
+
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   pairs: Optional[DataFrame] = None,
+                   max_iter: int = 25,
+                   **near_dup_kwargs) -> DataFrame:
+    """→ (doc_id, cluster_id) for EVERY document: full duplicate clusters
+    over the union of the exact-duplicate relation (docs sharing a text
+    md5) and the near-duplicate pair graph (``near_dup_pairs`` over the
+    exact-dup representatives, or a caller-provided ``pairs`` DataFrame
+    with columns (a, b) — e.g. ``ngram_jaccard_pairs`` or
+    ``simhash_near_dup`` output). cluster_id is the smallest doc_id in
+    the cluster; unique documents are singletons (cluster_id ==
+    doc_id).
+
+    This is the operator a training-data pipeline actually ends with:
+    group every document into its duplicate cluster, then keep one
+    survivor per cluster (``drop_near_duplicates``)."""
+    exact = (docs.select(F.md5(F.col(text_col)).alias("__m"),
+                         F.col(id_col).alias("u"))
+             .withColumn("v", F.min("u").over(
+                 Window.partitionBy("__m")))
+             .select("u", "v"))
+    if pairs is None:
+        pairs = near_dup_pairs(docs, text_col, id_col, **near_dup_kwargs)
+    edges = exact.unionByName(
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
+    return cluster_pairs(edges, "u", "v", max_iter)
+
+
+def drop_near_duplicates(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         clusters: Optional[DataFrame] = None,
+                         **dedup_kwargs) -> DataFrame:
+    """Keep one survivor (the smallest doc_id) per duplicate cluster —
+    ``docs`` filtered through ``dedup_clusters`` (computed here unless a
+    precomputed ``clusters`` (doc_id, cluster_id) is supplied). The
+    filter is a broadcast-friendly semi-join on the survivor ids."""
+    if clusters is None:
+        clusters = dedup_clusters(docs, text_col, id_col, **dedup_kwargs)
+    keep = (clusters.where(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id"))
+    return docs.join(keep.withColumnRenamed("doc_id", id_col),
+                     id_col, "left_semi")

@@ -313,3 +313,85 @@ def test_lang_id_ngram_classifies_real_snippets(spark):
     got = {r["doc_id"]: r["predicted_lang"]
            for r in lang_id_ngram(docs).collect()}
     assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_cluster_pairs_chain_and_singleton_component(spark):
+    # transitive closure: a 6-vertex chain collapses to one cluster even
+    # though only adjacent pairs were detected; the isolated pair stays
+    # its own component
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)]
+                                  + [(10, 11)], "a long, b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dd.cluster_pairs(pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_cluster_pairs_empty(spark):
+    empty = spark.createDataFrame([], "a long, b long")
+    assert dd.cluster_pairs(empty).count() == 0
+
+
+def test_cluster_pairs_fuzz_vs_union_find(spark):
+    import os
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES",
+                                              "5")),
+              deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                    min_size=1, max_size=40))
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in parent}
+
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dd.cluster_pairs(pairs).collect()}
+        assert got == expected
+
+    run()
+
+
+def test_dedup_clusters_and_drop(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),    # near dup
+        (3, "completely different text about spark shuffle joins here"),
+        (4, "completely different text about spark shuffle joins here"),
+        (5, "unrelated lone document with its own words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in dd.dedup_clusters(docs, threshold=0.3).collect()}
+    # every doc labeled; exact + near edges fuse 0,1,2; singleton keeps id
+    assert cl == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    kept = sorted(r["doc_id"]
+                  for r in dd.drop_near_duplicates(
+                      docs, threshold=0.3).collect())
+    assert kept == [0, 3, 5]
+
+
+def test_dedup_clusters_with_caller_pairs(spark):
+    # a precomputed pair set (e.g. simhash_near_dup output) plugs in; the
+    # exact-dup relation still contributes its own edges
+    rows = [(0, "aa bb cc"), (1, "aa bb cc"), (2, "totally else")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in dd.dedup_clusters(docs, pairs=pairs).collect()}
+    assert cl == {0: 0, 1: 0, 2: 0}
