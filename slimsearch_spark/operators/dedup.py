@@ -126,19 +126,15 @@ def minhash_signatures(term_sets: DataFrame, k: int = 8) -> DataFrame:
     return term_sets.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
-                        max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
-    """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 LSH band.
-
-    Self-join on (band_id, band_sig): docs only meet if a whole band of
-    MinHashes agrees — the candidate set is tiny relative to n². Buckets
-    larger than ``max_bucket`` are truncated to their first ``max_bucket``
-    members by doc_id (deterministic, oracle-mirrorable via QUALIFY
-    row_number) so one boilerplate cluster cannot emit O(m²) pairs."""
+def _lsh_bands(sigs: DataFrame, k: int, rows_per_band: int,
+               max_bucket: int) -> DataFrame:
+    """(doc_id, band_id, band_sig): signatures melted to LSH band keys
+    with ONE explode, not a per-band filter+union — union branches clone
+    the signature-aggregation subtree and the plan would compute the
+    MinHash agg n_bands times. Buckets above ``max_bucket`` are truncated
+    to their first members by doc_id (deterministic, oracle-mirrorable
+    via QUALIFY row_number)."""
     n_bands = k // rows_per_band
-    # melt to (doc_id, band_id, band_sig) with ONE explode, not a per-band
-    # filter+union — union branches clone the signature-aggregation subtree
-    # and the plan would compute the MinHash agg n_bands times
     melt = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -153,6 +149,19 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
         w = Window.partitionBy("band_id", "band_sig").orderBy("doc_id")
         u = (u.withColumn("__rn", F.row_number().over(w))
              .where(F.col("__rn") <= max_bucket).drop("__rn"))
+    return u
+
+
+def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
+                        max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 LSH band.
+
+    Self-join on (band_id, band_sig): docs only meet if a whole band of
+    MinHashes agrees — the candidate set is tiny relative to n². Buckets
+    larger than ``max_bucket`` are truncated to their first ``max_bucket``
+    members by doc_id (deterministic, oracle-mirrorable via QUALIFY
+    row_number) so one boilerplate cluster cannot emit O(m²) pairs."""
+    u = _lsh_bands(sigs, k, rows_per_band, max_bucket)
     left = u.alias("l")
     right = u.alias("r")
     return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
@@ -549,3 +558,52 @@ def drop_near_duplicates(docs: DataFrame, text_col: str = "text",
             .select("doc_id"))
     return docs.join(keep.withColumnRenamed("doc_id", id_col),
                      id_col, "left_semi")
+
+
+def near_dup_pairs_against(new_docs: DataFrame, corpus_docs: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           rows_per_band: int = 2,
+                           threshold: float = 0.5,
+                           shingle_n: int = 3,
+                           max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """→ (a = new doc_id, b = corpus doc_id, jaccard ≥ threshold): the
+    INGEST-TIME dedup check — near-duplicates of a new batch against an
+    already-ingested corpus, generating only cross-side pairs (the
+    batch's internal duplicates are ``near_dup_pairs``' job, exact
+    matches a cheaper md5 anti-join the caller runs first).
+
+    Semantics match ``near_dup_pairs``: identical shingling, MinHash
+    parameters, banding and exact-Jaccard verification, so a pair
+    reported here carries the same jaccard value the symmetric operator
+    would report. Candidates come from an equi-join of the two sides'
+    band tables (never a self-join), so an m-doc batch against an
+    N-doc corpus probes only band collisions — with the per-side
+    ``max_bucket`` cap bounding any boilerplate bucket's fan-out at
+    cap² per band. At 100 TB the batch side is typically small enough
+    that Spark broadcasts it into the band join; the verify join
+    touches only colliding docs' shingle sets.
+
+    Doc ids must be globally unique ACROSS both inputs (the standard
+    contract for an ingest pipeline); rows whose ids appear on both
+    sides would self-pair and are dropped."""
+    new_terms = doc_shingles(new_docs, shingle_n, text_col, id_col).cache()
+    new_terms.count()
+    corpus_terms = doc_shingles(corpus_docs, shingle_n, text_col,
+                                id_col).cache()
+    corpus_terms.count()
+    nb = _lsh_bands(minhash_signatures(new_terms, k), k, rows_per_band,
+                    max_bucket).alias("n")
+    cb = _lsh_bands(minhash_signatures(corpus_terms, k), k, rows_per_band,
+                    max_bucket).alias("c")
+    cands = (nb.join(cb, (F.col("n.band_id") == F.col("c.band_id"))
+                     & (F.col("n.band_sig") == F.col("c.band_sig"))
+                     & (F.col("n.doc_id") != F.col("c.doc_id")))
+             .select(F.col("n.doc_id").alias("a"),
+                     F.col("c.doc_id").alias("b"))
+             .distinct())
+    terms = new_terms.unionByName(corpus_terms)
+    out = _verify_jaccard(cands, terms, threshold)
+    new_terms.unpersist()
+    corpus_terms.unpersist()
+    return out

@@ -395,3 +395,35 @@ def test_dedup_clusters_with_caller_pairs(spark):
     cl = {r["doc_id"]: r["cluster_id"]
           for r in dd.dedup_clusters(docs, pairs=pairs).collect()}
     assert cl == {0: 0, 1: 0, 2: 0}
+
+
+def test_near_dup_pairs_against(spark):
+    # ingest-time check: cross-side pairs only, jaccard identical to the
+    # symmetric operator's on the same doc pair
+    corpus = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine ten"),
+    ], "doc_id long, text string")
+    batch = spark.createDataFrame([
+        (10, "alpha beta gamma delta epsilon zeta eta iota"),   # near 0
+        (11, "eleven twelve thirteen fourteen fifteen sixteen"),
+        (12, "eleven twelve thirteen fourteen fifteen sixteen"),  # intra-
+        # batch exact dup of 11: must NOT appear (cross-side only)
+    ], "doc_id long, text string")
+    out = dd.near_dup_pairs_against(batch, corpus, threshold=0.3).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert set(pairs) == {(10, 0)}
+    sym = dd.near_dup_pairs(
+        spark.createDataFrame([
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+        ], "doc_id long, text string"), threshold=0.3).collect()
+    assert len(sym) == 1 and sym[0]["jaccard"] == pairs[(10, 0)]
+
+
+def test_near_dup_pairs_against_shared_id_dropped(spark):
+    # a row present on both sides under the same id must not self-pair
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    one = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    out = dd.near_dup_pairs_against(one, one, threshold=0.3).collect()
+    assert out == []
