@@ -602,8 +602,7 @@ def near_dup_pairs_against(new_docs: DataFrame, corpus_docs: DataFrame,
              .select(F.col("n.doc_id").alias("a"),
                      F.col("c.doc_id").alias("b"))
              .distinct())
+    # caches stay (matching near_dup_pairs): the returned frame is lazy,
+    # and the verify join re-scans both term sets at action time
     terms = new_terms.unionByName(corpus_terms)
-    out = _verify_jaccard(cands, terms, threshold)
-    new_terms.unpersist()
-    corpus_terms.unpersist()
-    return out
+    return _verify_jaccard(cands, terms, threshold)
