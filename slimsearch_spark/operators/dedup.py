@@ -475,9 +475,11 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
              .distinct().cache())
 
     def _snapshot(df: DataFrame) -> DataFrame:
+        # lazy: the convergence-sum aggregation right after is the action
+        # that materializes the checkpoint — one pass per round, not two
         if spark.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     labels = _snapshot(edges.select(F.col("u").alias("v0"))
                        .distinct()
@@ -531,17 +533,35 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
 
     This is the operator a training-data pipeline actually ends with:
     group every document into its duplicate cluster, then keep one
-    survivor per cluster (``drop_near_duplicates``)."""
-    exact = (docs.select(F.md5(F.col(text_col)).alias("__m"),
-                         F.col(id_col).alias("u"))
-             .withColumn("v", F.min("u").over(
-                 Window.partitionBy("__m")))
-             .select("u", "v"))
+    survivor per cluster (``drop_near_duplicates``).
+
+    Scale note: the iterative propagation runs ONLY on the near-pair
+    graph QUOTIENTED by the exact-dup relation — each pair endpoint maps
+    to its exact representative first (connected through the exact edge,
+    so components are unchanged), and every rep is the min id of its
+    text group, so the quotient component min IS the full component min.
+    Docs outside any near-dup component never enter the iteration; they
+    get their rep's id through the same final join. At 10⁹ docs the
+    iterated vertex set is just the docs with near-dup candidates."""
+    rep_map = (docs.select(F.md5(F.col(text_col)).alias("__m"),
+                           F.col(id_col).alias("u"))
+               .withColumn("rep", F.min("u").over(
+                   Window.partitionBy("__m")))
+               .select("u", "rep"))
     if pairs is None:
         pairs = near_dup_pairs(docs, text_col, id_col, **near_dup_kwargs)
-    edges = exact.unionByName(
-        pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
-    return cluster_pairs(edges, "u", "v", max_iter)
+    qpairs = (pairs
+              .join(rep_map.select(F.col("u").alias("a"),
+                                   F.col("rep").alias("qa")), "a")
+              .join(rep_map.select(F.col("u").alias("b"),
+                                   F.col("rep").alias("qb")), "b")
+              .where(F.col("qa") != F.col("qb"))
+              .select("qa", "qb").distinct())
+    labels = cluster_pairs(qpairs, "qa", "qb", max_iter)
+    return (rep_map
+            .join(labels.withColumnRenamed("doc_id", "rep"), "rep", "left")
+            .select(F.col("u").alias("doc_id"),
+                    F.coalesce("cluster_id", "rep").alias("cluster_id")))
 
 
 def drop_near_duplicates(docs: DataFrame, text_col: str = "text",
