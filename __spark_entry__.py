@@ -18,7 +18,9 @@ from slimsearch_spark.config import IndexConfig
 from slimsearch_spark.engine import SparkSearchIndex
 from slimsearch_spark.operators.build import (build_doc_stats, build_postings,
                                               build_term_dict, tokenize_fields)
+from slimsearch_spark.operators import decontam as dc
 from slimsearch_spark.operators import dedup as dd
+from slimsearch_spark.operators import pii as pii_op
 from slimsearch_spark.operators import textstats as ts
 from slimsearch_spark.operators import similarity as sim
 
@@ -551,6 +553,64 @@ def q_ann_ivf_topk_saved(spark, sf_dir):
                               n_probe=2, exclude_id=0)
 
 
+def q_ann_ivf_topk_paths(spark, sf_dir):
+    """Round-4 session-10 consolidation: the live IVF assignment AND the
+    saved partition-pruned layout in ONE gated entry — both paths must
+    produce the identical top-10 (tagged by ``path``), freeing a driver
+    slot without un-gating either code path."""
+    live = q_ann_ivf_topk(spark, sf_dir).withColumn("path", F.lit("live"))
+    saved = (q_ann_ivf_topk_saved(spark, sf_dir)
+             .withColumn("path", F.lit("saved")))
+    return live.unionByName(saved)
+
+
+def q_search_after_maintenance(spark, sf_dir):
+    """Round-4 session-10 consolidation: the lazy-tombstone path (M3/M7,
+    discard doc_id % 7, search 'spark') and the eager batched-remove path
+    (M1/M2, remove doc_id % 13, search 'merge') in ONE gated entry, tagged
+    by ``op`` — both maintenance semantics stay driver-gated in one slot."""
+    d = (q_search_after_discard(spark, sf_dir)
+         .withColumn("op", F.lit("discard")))
+    r = (q_search_after_remove(spark, sf_dir)
+         .withColumn("op", F.lit("remove")))
+    return d.unionByName(r)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): eval set = every
+    37th document, corpus = the rest; per-doc counts of token 3-grams
+    shared with the eval set (a contaminated doc is any row returned —
+    ``decontaminate`` anti-joins these ids away). Plan: benchmark shingles
+    broadcast, corpus side one explode + one map-side-combinable
+    aggregation — linear in corpus tokens, no self-join."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return dc.contamination_hits(corpus, bench, n=3)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over documents with deterministically
+    injected PII (the synthetic corpus contains none): per-doc match
+    counts for email/IPv4/phone plus the md5 of the scrubbed text — the
+    hash gates the full redacted form without shipping wide strings.
+    Whole-stage-codegen regexp_count/regexp_replace only."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    stats = pii_op.pii_stats(docs)
+    scrub = (pii_op.pii_scrub(docs)
+             .select("doc_id", F.md5("text").alias("scrub_md5")))
+    return stats.join(scrub, "doc_id")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded sign-LSH (16 planes,
     4 bands) + exact cosine verify ≥ 0.4 — never all-pairs."""
@@ -689,8 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autosuggest_fuzzy": q_autosuggest_fuzzy,
         "autosuggest_custom_defaults": q_autosuggest_custom_defaults,
         "custom_extract_field": q_custom_extract_field,
-        "search_after_discard": q_search_after_discard,
-        "search_after_remove": q_search_after_remove,
+        "search_after_maintenance": q_search_after_maintenance,
         "incremental_add": q_incremental_add,
         "custom_process_term": q_custom_process_term,
         "dedup_exact": q_dedup_exact,
@@ -704,9 +763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_topk_saved": q_ann_ivf_topk_saved,
+        "ann_ivf_topk": q_ann_ivf_topk_paths,
         "embedding_near_dup": q_embedding_near_dup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "index_merge": q_index_merge,
@@ -1242,6 +1302,12 @@ SELECT m.doc_id,
          AS score
 FROM matched m JOIN dstat d USING (doc_id) CROSS JOIN cstat"""
 
+    # consolidated maintenance entry: lazy discard ∪ eager remove, tagged
+    sql["search_after_maintenance"] = f"""
+SELECT 'discard' AS op, * FROM ({sql.pop("search_after_discard")})
+UNION ALL
+SELECT 'remove' AS op, * FROM ({sql.pop("search_after_remove")})"""
+
     # custom processTerm (join→merge synonym fold) at index AND query time;
     # field_len stays the raw-token count (reference src/add.ts:96)
     sql["custom_process_term"] = r"""
@@ -1430,6 +1496,55 @@ LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sizes sa ON sa.doc_id = c.a
 JOIN sizes sb ON sb.doc_id = c.b
 WHERE coalesce(i.i, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5"""
+
+    # benchmark decontamination: eval set = doc_id % 37 == 0, overlap on
+    # distinct token 3-grams (same shingle CTEs as ngram_jaccard)
+    sql["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'),
+             x -> lower(x)), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(length(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+  FROM toks
+),
+tset AS (SELECT DISTINCT doc_id, term FROM sh),
+bench AS (SELECT DISTINCT term FROM tset WHERE doc_id % 37 = 0),
+corp AS (SELECT * FROM tset WHERE doc_id % 37 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corp c JOIN bench b USING (term) GROUP BY c.doc_id
+)
+SELECT h.doc_id, h.n_hits, s.n_shingles,
+       round(h.n_hits * 1.0 / s.n_shingles, 6) AS hit_frac
+FROM hits h JOIN sizes s USING (doc_id)"""
+
+    # PII scrub: injected email/IPv4/phone per doc; counts on raw text,
+    # md5 of the redacted text gates the full scrub. RE2 and Java regex
+    # agree on these alternation-free patterns (tests/test_decontam_pii.py
+    # additionally pins them to Python re)
+    from slimsearch_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    pii_text = ("text || ' contact user' || doc_id::VARCHAR || "
+                "'@example.com from 10.1.' || (doc_id % 256)::VARCHAR || "
+                "'.7 tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')")
+    sql["pii_scrub"] = f"""
+WITH d AS (SELECT doc_id, {pii_text} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+FROM d"""
 
     # 64-bit simhash: tf-weighted bits over two 32-bit md5 halves (the
     # 16-bit variant stays pytest-covered in tests/test_dedup_ops.py; its
@@ -1633,8 +1748,12 @@ ORDER BY list_dot_product(e.v, q.qv) /
           sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
 LIMIT 10"""
 
-    # saved IVF layout is result-identical to the live assignment
-    sql["ann_ivf_topk_saved"] = sql["ann_ivf_topk"]
+    # consolidated entry: live assignment ∪ saved partition-pruned layout,
+    # tagged — both must equal the same oracle top-10
+    sql["ann_ivf_topk"] = f"""
+SELECT 'live' AS path, * FROM ({sql["ann_ivf_topk"]})
+UNION ALL
+SELECT 'saved' AS path, * FROM ({sql["ann_ivf_topk"]})"""
 
     # embedding near-dup: 16 deterministic hyperplanes, 4 bands of 4 bits,
     # QUALIFY bucket cap, exact-cosine verify ≥ 0.4 on banded candidates

@@ -82,7 +82,7 @@ def main() -> None:
     idx2.postings.count()
     idx2.doc_stats.count()
     E._INDEX_CACHE[("idx2", sf_dir)] = idx2
-    E.queries()["ann_ivf_topk_saved"](spark, sf_dir)  # writes the layout
+    E.q_ann_ivf_topk_saved(spark, sf_dir)  # writes the saved IVF layout
     # the WAND serving layout (compacted block-max lists) is the index's
     # save-time artifact — compaction is a BUILD cost (one-time, like
     # save_index), so it materializes here untimed and the wand_* entries
@@ -102,14 +102,17 @@ def main() -> None:
         "dedup_exact", "near_dup_minhash", "ngram_jaccard", "simhash64",
         "simhash_near_dup", "lang_id", "dedup_clusters",
         "text_quality", "fingerprint",
-        "ann_cosine_topk", "ann_lsh_multiprobe",
-        "ann_ivf_topk", "ann_ivf_topk_saved", "embedding_near_dup",
+        "ann_cosine_topk", "ann_lsh_multiprobe", "embedding_near_dup",
         "events_windowed", "sessionize", "media_features",
+        "decontaminate", "pii_scrub",
     ]
     # consolidated-out driver entries still benched via their q_ functions
-    # (wand_topk_adaptive = the production adaptive default)
+    # (wand_topk_adaptive = the production adaptive default; the ivf pair
+    # benches live and saved separately — the gated entry unions them)
     extra = {"wand_topk_adaptive": E.q_wand_topk_adaptive,
-             "bm25_and": E.q_bm25_and}
+             "bm25_and": E.q_bm25_and,
+             "ann_ivf_topk": E.q_ann_ivf_topk,
+             "ann_ivf_topk_saved": E.q_ann_ivf_topk_saved}
     qs = dict(E.queries(), **extra)
     for name in bench_queries + sorted(extra):
         t0 = time.time()
