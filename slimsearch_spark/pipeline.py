@@ -1,0 +1,82 @@
+"""End-to-end training-data preparation: the composition of the pipeline
+operators this engine ships, in the order a 100 TB run would chain them.
+
+``prepare_training_corpus`` is one lazy DataFrame plan —
+
+  1. PII scrub (``operators/pii.py``) — narrow regexp projections, FIRST
+     so every later hash/shingle sees the redacted form (redaction must
+     not split duplicate clusters).
+  2. Benchmark decontamination (``operators/decontam.py``) — broadcast
+     shingle probe + anti-join; optional (skipped without a benchmark).
+  3. Quality gate (``operators/textstats.py``) — codegen column filter,
+     BEFORE dedup so garbage rows never pay shingling/MinHash cost.
+  4. Near-duplicate removal (``operators/dedup.py``) — exact + MinHash-LSH
+     clusters, one survivor per cluster.
+  5. Deterministic sampling (``operators/sampling.py``) — optional
+     key-hash downsample (repartition-stable, reproducible).
+  6. Token-budget shard packing — (pack_bucket, shard_id) assignment for
+     the training-file writer to ``partitionBy``.
+
+Nothing here adds semantics: every stage is the gated operator, so the
+composition inherits their individual oracles/tests; the pipeline test
+asserts the cross-stage invariants (no PII survives, contaminated ids
+gone, one survivor per duplicate cluster, shard budgets bounded).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.decontam import decontaminate
+from .operators.dedup import drop_near_duplicates
+from .operators.pii import pii_scrub
+from .operators.sampling import pack_token_budget, sample_deterministic
+from .operators.textstats import text_quality
+
+
+def prepare_training_corpus(docs: DataFrame,
+                            benchmark: Optional[DataFrame] = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            scrub_pii: bool = True,
+                            decontam_n: int = 3,
+                            min_tokens: int = 10,
+                            max_tokens: int = 100_000,
+                            min_ttr: float = 0.1,
+                            sample_fraction: Optional[float] = None,
+                            shard_budget: Optional[int] = None,
+                            seed: int = 42,
+                            **dedup_kwargs) -> DataFrame:
+    """Documents → cleaned, decontaminated, deduplicated, (optionally)
+    sampled and shard-packed training corpus. Returns the surviving rows
+    with original columns (text redacted in place when ``scrub_pii``),
+    plus ``n_tokens`` and — when ``shard_budget`` is set —
+    ``(pack_bucket, shard_id)`` for the packed writer.
+
+    ``dedup_kwargs`` pass through to ``dedup_clusters`` (MinHash k,
+    bands, jaccard threshold, or a precomputed ``pairs`` DataFrame)."""
+    if scrub_pii:
+        docs = pii_scrub(docs, text_col)
+    if benchmark is not None:
+        docs = decontaminate(docs, benchmark, n=decontam_n,
+                             text_col=text_col, id_col=id_col)
+
+    quality = (text_quality(docs, text_col, id_col)
+               .where((F.col("n_tokens") >= min_tokens)
+                      & (F.col("n_tokens") <= max_tokens)
+                      & (F.col("ttr") > min_ttr))
+               .select(F.col("doc_id").alias(id_col), "n_tokens"))
+    docs = docs.join(quality, id_col)
+
+    docs = drop_near_duplicates(docs, text_col, id_col, **dedup_kwargs)
+
+    if sample_fraction is not None:
+        docs = sample_deterministic(docs, sample_fraction, [id_col],
+                                    seed=seed)
+    if shard_budget is not None:
+        docs = pack_token_budget(docs, shard_budget, "n_tokens", id_col,
+                                 seed=seed)
+    return docs
