@@ -110,3 +110,53 @@ def test_pii_python_re_agreement(pii_docs):
                    "phone": "n_phone"}[name]
             assert got[did][key] == len(re.findall(pat, row["text"])), (
                 did, name)
+
+
+# ---------------------------------------------------------------- fuzz
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from slimsearch_spark.functions.tokenize import analyze_py
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _texts(min_size=0, max_size=8):
+    return st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=9)
+        .map(" ".join),
+        min_size=min_size, max_size=max_size)
+
+
+def _py_shingles(text, n):
+    toks = analyze_py(text)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=int(os.environ.get("SLIMSEARCH_FUZZ_EXAMPLES", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus_t=_texts(min_size=1), bench_t=_texts(),
+       n=st.integers(min_value=2, max_value=4))
+def test_fuzz_contamination_vs_python(spark, corpus_t, bench_t, n):
+    """contamination_hits == a pure-Python n-gram overlap oracle on random
+    tiny-vocabulary corpora (the small vocab forces shingle collisions)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_t)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_t)] or [(0, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["n_shingles"])
+           for r in dc.contamination_hits(docs, bench, n=n).collect()}
+    bench_sh = set().union(*(_py_shingles(t, n) for t in bench_t)) \
+        if bench_t else set()
+    want = {}
+    for i, t in enumerate(corpus_t):
+        sh = _py_shingles(t, n)
+        hits = len(sh & bench_sh)
+        if hits:
+            want[i] = (hits, len(sh))
+    assert got == want
