@@ -427,3 +427,21 @@ def test_near_dup_pairs_against_shared_id_dropped(spark):
     one = spark.createDataFrame([(5, txt)], "doc_id long, text string")
     out = dd.near_dup_pairs_against(one, one, threshold=0.3).collect()
     assert out == []
+
+
+def test_ngram_jaccard_counts_capped_shingles_in_intersection(spark):
+    """Candidates come from RARE shingles only, but the reported jaccard
+    must count CAPPED (df > max_shingle_df) shingles in the intersection
+    — the session-10 split-verify form computes them via a separate
+    capped-only join."""
+    boiler = "b1 b2 b3 b4 b5"            # its trigrams have df=4 > cap=2
+    rows = [(1, boiler + " r1 r2 r3"),   # shares 3 rare trigrams with 2
+            (2, boiler + " r1 r2 r3 x9"),
+            (3, boiler + " s1 s2 s3"),   # shares ONLY capped trigrams
+            (4, boiler + " t1 t2 t3")]   # with every other doc
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(d, threshold=0.5,
+                                           max_shingle_df=2).collect()}
+    # doc1: 6 trigrams, doc2: 7; shared = 3 boiler (capped) + 3 rare = 6
+    assert out == {(1, 2): pytest.approx(6 / 7, abs=1e-6)}
