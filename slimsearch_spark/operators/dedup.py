@@ -472,7 +472,8 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
 
 
 def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
-                  max_iter: int = 25) -> DataFrame:
+                  max_iter: int = 25,
+                  collect_threshold: int = 100_000) -> DataFrame:
     """→ (doc_id, cluster_id): connected components of the duplicate-pair
     graph, labeled by the smallest doc_id in each component — the step
     that turns pair detection into an actual dedup decision (one
@@ -495,10 +496,44 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     the pair generators (LSH ``max_bucket`` / rare-shingle df ceiling),
     and near-dup components are shallow (cliquish), so rounds ~2-4.
     Raises after ``max_iter`` rounds without convergence rather than
-    returning a partial labeling."""
+    returning a partial labeling.
+
+    Adaptive small-graph path (session 10): pair graphs at or below
+    ``collect_threshold`` edges (bounded ``limit(threshold+1)`` probe —
+    the engine's standard collect-guard pattern) run a driver union-find
+    instead: O(edges·α) in one pass vs 2-4 distributed rounds of fixed
+    multi-second job overhead. Near-dup pair sets are SMALL relative to
+    their corpora (they're the output of capped candidate generation +
+    a similarity threshold), so even large corpora often land here; a
+    graph past the threshold takes the iterative path unchanged. Set
+    ``collect_threshold=0`` to force the distributed path."""
     spark = pairs.sparkSession
     half = pairs.select(F.col(a_col).cast("long").alias("u"),
                         F.col(b_col).cast("long").alias("v"))
+
+    if collect_threshold:
+        probe = half.limit(collect_threshold + 1).collect()
+        if len(probe) <= collect_threshold:
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]   # path halving
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:                        # union by min value:
+                    if ru < rv:                     # the root IS the
+                        parent[rv] = ru             # component min
+                    else:
+                        parent[ru] = rv
+            rows = [(x, find(x)) for x in parent]
+            return spark.createDataFrame(rows, "doc_id long, cluster_id long")
     edges = (half.unionByName(half.select(F.col("v").alias("u"),
                                           F.col("u").alias("v")))
              .distinct().cache())

@@ -321,9 +321,12 @@ def test_cluster_pairs_chain_and_singleton_component(spark):
     # its own component
     pairs = spark.createDataFrame([(i, i + 1) for i in range(5)]
                                   + [(10, 11)], "a long, b long")
-    out = {r["doc_id"]: r["cluster_id"]
-           for r in dd.cluster_pairs(pairs).collect()}
-    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+    for thresh in (100_000, 0):   # driver fast path + distributed path
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dd.cluster_pairs(
+                   pairs, collect_threshold=thresh).collect()}
+        assert out == want
 
 
 def test_cluster_pairs_empty(spark):
@@ -359,9 +362,15 @@ def test_cluster_pairs_fuzz_vs_union_find(spark):
         expected = {v: find(v) for v in parent}
 
         pairs = spark.createDataFrame(edges, "a long, b long")
+        # both paths: driver union-find fast path AND the distributed
+        # iterative propagation (collect_threshold=0 forces it)
         got = {r["doc_id"]: r["cluster_id"]
                for r in dd.cluster_pairs(pairs).collect()}
         assert got == expected
+        got_dist = {r["doc_id"]: r["cluster_id"]
+                    for r in dd.cluster_pairs(
+                        pairs, collect_threshold=0).collect()}
+        assert got_dist == expected
 
     run()
 
