@@ -125,6 +125,52 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     return C.tolist()
 
 
+def train_centroids_distributed(embeddings: DataFrame,
+                                n_centroids: int = 16, iters: int = 5,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                init: Optional[List[List[float]]] = None,
+                                ) -> List[List[float]]:
+    """Full-corpus Lloyd k-means for the IVF coarse quantizer.
+
+    ``ivf_centroids`` trains on a bounded driver sample (the FAISS-style
+    default); this is the distributed refinement when sample bias
+    matters: every iteration assigns ALL vectors with the same codegen'd
+    argmin expression the query path uses (``_ivf_assign_expr`` — JVM
+    whole-stage, no Python), then recomputes means with ONE
+    posexplode + (cell, dim) aggregation; only k·dim floats ever reach
+    the driver per iteration. Empty cells keep their previous centroid
+    (standard Lloyd convention, matches ``ivf_centroids``). Deterministic:
+    init defaults to ``seed_centroids`` (first k by id) and every step is
+    a pure function of the data."""
+    C = [list(map(float, c)) for c in
+         (init or seed_centroids(embeddings, n_centroids, vec_col, id_col))]
+    dim = len(C[0])
+    base = embeddings.select(F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = base.withColumn("__cell", F.expr(_ivf_assign_expr(C)))
+        sums = (assigned
+                .select("__cell", F.posexplode("__v").alias("__d", "__x"))
+                .groupBy("__cell", "__d")
+                .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+                .collect())
+        acc = {}
+        for r in sums:
+            cell = acc.setdefault(int(r["__cell"]),
+                                  [[0.0] * dim, 0])
+            cell[0][int(r["__d"])] = float(r["__s"])
+            cell[1] = int(r["__n"])
+        nxt = []
+        for c in range(n_centroids):
+            if c in acc and acc[c][1] > 0:
+                svec, n = acc[c]
+                nxt.append([s / n for s in svec])
+            else:
+                nxt.append(C[c])
+        C = nxt
+    return C
+
+
 def seed_centroids(embeddings: DataFrame, n_centroids: int = 16,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> List[List[float]]:

@@ -454,3 +454,33 @@ def test_ngram_jaccard_counts_capped_shingles_in_intersection(spark):
                                            max_shingle_df=2).collect()}
     # doc1: 6 trigrams, doc2: 7; shared = 3 boiler (capped) + 3 rare = 6
     assert out == {(1, 2): pytest.approx(6 / 7, abs=1e-6)}
+
+
+def test_train_centroids_distributed_matches_numpy_lloyd(vectors):
+    """Full-corpus distributed Lloyd == a numpy Lloyd reference on the
+    same data/init (empty cells keep their centroid in both), and the
+    result is deterministic across invocations."""
+    import numpy as np
+    X = np.asarray(
+        [list(r["embedding"]) for r in
+         vectors.orderBy("vec_id").collect()], dtype=float)
+    k, iters = 4, 3
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(k):
+            m = X[a == c]
+            if len(m):
+                C[c] = m.mean(0)
+    got = sim.train_centroids_distributed(vectors, k, iters=iters)
+    assert np.allclose(np.asarray(got), C, atol=1e-9)
+    assert got == sim.train_centroids_distributed(vectors, k, iters=iters)
+    # trained centroids remain recall-complete at full probe width
+    q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {(r["vec_id"], r["cosine"]) for r in
+             sim.brute_force_topk(vectors, q, k=29, exclude_id=0).collect()}
+    full = {(r["vec_id"], r["cosine"]) for r in
+            sim.ivf_topk(vectors, q, k=29, centroids=got, n_probe=4,
+                         exclude_id=0).collect()}
+    assert full == exact
