@@ -197,9 +197,22 @@ def _score_base(tf: np.ndarray, fl: np.ndarray, idf: float,
 def _ub_from_imp(imp: np.ndarray, idf: float, wsum: float,
                  bm25: Mapping[str, float]) -> np.ndarray:
     """Per-block upper bound of the slice's TOTAL contribution (Σ over its
-    expansion entries): Σ_e w_e · idf · (d + (k+1)·impact)."""
+    expansion entries): Σ_e w_e · idf · (d + (k+1)·impact).
+
+    The (1 + 4·ulp) inflation keeps the bound a true bound under float
+    rounding: the encode-time impact stores max(tf/norm) and this product
+    associates as (w·idf)·(d + (k+1)·imp), while the exact scorer computes
+    w·(idf·(d + tf·(k+1)/norm)) — same value in ℝ, but each reassociation
+    can round once, so the raw bound can land a few ULPs BELOW the exact
+    partial. θ is seeded from exact partials (θ0 pre-pass, local slice
+    seeds), so a 1-ULP-short bound on a singleton block prunes the very
+    doc that seeded θ and a top-k can come back short (hypothesis-found,
+    round 4). All factors are ≥ 0, so inflating preserves validity; 1e-12
+    covers any plausible reassociation error (a few ULPs ≈ 1e-16 each)
+    with orders-of-magnitude slack while staying 1000× below the 1e-9
+    score tolerance every parity gate uses."""
     k, d = float(bm25["k"]), float(bm25["d"])
-    return wsum * idf * (d + (k + 1.0) * imp)
+    return wsum * idf * (d + (k + 1.0) * imp) * (1.0 + 1e-12)
 
 
 def _slice_of_row(row, tomb: Optional[np.ndarray]) -> dict:

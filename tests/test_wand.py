@@ -329,6 +329,27 @@ def test_wand_theta0_counts_distinct_docs(spark):
     assert len(_wand_topk(idx, "aa bb cc", 10, layout=layout)) == 10
 
 
+def test_wand_bound_survives_float_reassociation(spark):
+    """Regression (round-4 hypothesis find): the stored block-impact bound
+    and the exact scorer compute the same product in different association
+    order, so the raw bound could round a ULP BELOW the exact partial that
+    seeds θ — with k=1 and one single-posting block per shard, every shard
+    pruned its only candidate and the top-1 came back EMPTY. The corpus
+    pins the falsifying example: 'a' lives in two fields of two docs that
+    land in different doc-grid shards at block_doc_range=4."""
+    from slimsearch_spark.engine import SparkSearchIndex as SSI
+    docs = spark.createDataFrame(
+        [(0, "", "ba b abd"), (1, None, "spa ba"), (2, None, ""),
+         (3, "b", "sparse x1 x1 a"), (4, "x2 a", "")],
+        "id long, title string, text string")
+    idx = SSI.build(docs, IndexConfig(fields=["title", "text"],
+                                      store_fields=[]), order_cols=["id"])
+    layout = IndexLayout(block_doc_range=4)
+    got = _wand_topk(idx, "a", 1, layout=layout)
+    assert got == _full_topk(idx, "a", 1)
+    assert len(got) == 1
+
+
 def test_wand_rejects_unsupported_options(index):
     """search_topk_wand raises on unknown combinators / callable filters /
     boostDocument instead of silently mis-scoring (round-2 ADVICE; AND,
