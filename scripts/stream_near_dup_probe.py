@@ -88,7 +88,6 @@ q = (cands.writeStream.format("parquet")
 q.awaitTermination()
 out["stream_sec"] = round(time.time() - t0, 1)
 out["stream_docs_per_sec"] = round(n_docs / out["stream_sec"], 1)
-prog = q.lastProgress
 got = spark.read.parquet(SINK)
 out["stream_pairs_distinct"] = got.select("a", "b").distinct().count()
 out["stream_rows"] = got.count()
