@@ -151,10 +151,14 @@ def _bucket_fn(max_bucket: int, horizon_ms: Optional[int]):
 
 def _interval_ms(within: str) -> int:
     """'24 hours' / '30 minutes' / '10 seconds' → milliseconds."""
-    qty, unit = within.split()
-    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
-              "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
-    return int(qty) * factor
+    parts = within.split()
+    factors = {"millisecond": 1, "second": 1000, "minute": 60_000,
+               "hour": 3_600_000, "day": 86_400_000}
+    if len(parts) != 2 or parts[1].rstrip("s") not in factors:
+        raise ValueError(
+            f"within={within!r}: expected '<n> "
+            f"{{{'|'.join(sorted(factors))}}}[s]'")
+    return int(parts[0]) * factors[parts[1].rstrip("s")]
 
 
 def stream_near_dup_candidates(stream: DataFrame, text_col: str = "text",
@@ -172,6 +176,8 @@ def stream_near_dup_candidates(stream: DataFrame, text_col: str = "text",
             "pass event_time_col and within together (or neither)")
     bands_udf = _band_keys_udf(k, rows_per_band, shingle_n)
     horizon_ms: Optional[int] = None
+    if within is not None:
+        horizon_ms = _interval_ms(within)   # validate before plan building
     cols = [F.col(id_col).cast("long").alias("doc_id"),
             F.explode(bands_udf(F.col(text_col))).alias("b")]
     if event_time_col is not None:
@@ -186,7 +192,6 @@ def stream_near_dup_candidates(stream: DataFrame, text_col: str = "text",
         # requires the watermarked attribute in its child plan
         cols.extend([F.unix_millis(F.col("__ts")).alias("__ms"),
                      F.col("__ts")])
-        horizon_ms = _interval_ms(within)
     exploded = (stream.select(*cols)
                 .select("doc_id", F.col("b.band_id").alias("band_id"),
                         F.col("b.band_sig").alias("band_sig"),

@@ -177,3 +177,6 @@ def test_stream_near_dup_arg_validation(spark):
         stream_near_dup_candidates(df, within="1 hour")
     with pytest.raises(ValueError):
         stream_near_dup_candidates(df, k=8, rows_per_band=3)
+    with pytest.raises(ValueError, match="within"):
+        stream_near_dup_candidates(df, event_time_col="ts",
+                                   within="1 fortnight")
