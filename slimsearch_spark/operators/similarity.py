@@ -140,9 +140,12 @@ def train_centroids_distributed(embeddings: DataFrame,
     whole-stage, no Python), then recomputes means with ONE
     posexplode + (cell, dim) aggregation; only k·dim floats ever reach
     the driver per iteration. Empty cells keep their previous centroid
-    (standard Lloyd convention, matches ``ivf_centroids``). Deterministic:
-    init defaults to ``seed_centroids`` (first k by id) and every step is
-    a pure function of the data."""
+    (standard Lloyd convention, matches ``ivf_centroids``). Deterministic
+    up to float summation order: init defaults to ``seed_centroids``
+    (first k by id) and every step is a pure function of the data, but
+    ``F.sum`` over doubles merges reduce-side partials in shuffle-fetch
+    order, so repeated runs on multi-partition data may differ in the
+    last ULPs."""
     C = [list(map(float, c)) for c in
          (init or seed_centroids(embeddings, n_centroids, vec_col, id_col))]
     dim = len(C[0])

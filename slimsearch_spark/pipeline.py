@@ -8,6 +8,8 @@ operators this engine ships, in the order a 100 TB run would chain them.
      not split duplicate clusters).
   2. Benchmark decontamination (``operators/decontam.py``) — broadcast
      shingle probe + anti-join; optional (skipped without a benchmark).
+     When PII scrubbing is on, the benchmark is scrubbed with the SAME
+     rules first so both sides shingle the identical redacted form.
   3. Quality gate (``operators/textstats.py``) — codegen column filter,
      BEFORE dedup so garbage rows never pay shingling/MinHash cost.
   4. Near-duplicate removal (``operators/dedup.py``) — exact + MinHash-LSH
@@ -60,6 +62,13 @@ def prepare_training_corpus(docs: DataFrame,
     bands, jaccard threshold, or a precomputed ``pairs`` DataFrame)."""
     if scrub_pii:
         docs = pii_scrub(docs, text_col)
+        if benchmark is not None:
+            # Scrub the benchmark the same way: a training doc whose
+            # benchmark-overlapping n-grams contain an email/IP/phone is
+            # redacted before shingling, so the benchmark side must
+            # shingle the same redacted form or the overlap is invisible
+            # and the doc escapes decontamination.
+            benchmark = pii_scrub(benchmark, text_col)
     if benchmark is not None:
         docs = decontaminate(docs, benchmark, n=decontam_n,
                              text_col=text_col, id_col=id_col)

@@ -459,7 +459,8 @@ def test_ngram_jaccard_counts_capped_shingles_in_intersection(spark):
 def test_train_centroids_distributed_matches_numpy_lloyd(vectors):
     """Full-corpus distributed Lloyd == a numpy Lloyd reference on the
     same data/init (empty cells keep their centroid in both), and the
-    result is deterministic across invocations."""
+    result is deterministic across invocations up to float summation
+    order (F.sum over doubles merges partials in shuffle-fetch order)."""
     import numpy as np
     X = np.asarray(
         [list(r["embedding"]) for r in
@@ -475,7 +476,9 @@ def test_train_centroids_distributed_matches_numpy_lloyd(vectors):
                 C[c] = m.mean(0)
     got = sim.train_centroids_distributed(vectors, k, iters=iters)
     assert np.allclose(np.asarray(got), C, atol=1e-9)
-    assert got == sim.train_centroids_distributed(vectors, k, iters=iters)
+    again = sim.train_centroids_distributed(vectors, k, iters=iters)
+    assert np.allclose(np.asarray(got), np.asarray(again),
+                       rtol=1e-12, atol=1e-12)
     # trained centroids remain recall-complete at full probe width
     q = vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     exact = {(r["vec_id"], r["cosine"]) for r in

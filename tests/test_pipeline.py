@@ -79,3 +79,21 @@ def test_pipeline_minimal_options_is_lazy_single_plan(raw_docs):
                                   rows_per_band=2)
     assert out.count() > 0
     assert "shard_id" not in out.columns
+
+
+def test_pipeline_benchmark_scrubbed_before_decontam(spark):
+    """A doc whose benchmark-overlapping n-grams contain an email must
+    still be caught: scrubbing redacts both sides to the same form
+    before shingling (ADVICE r04). Without benchmark-side scrubbing the
+    doc's redacted shingles no longer match the raw benchmark and the
+    contamination escapes."""
+    overlap = "leaked eval question mail7@x.io answer tokens here okay"
+    docs = spark.createDataFrame(
+        [(1, overlap + " plus more words to pass the quality gate fine"),
+         (2, "red green blue cyan magenta yellow black white gray pink "
+             "teal umber")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, overlap)], "doc_id long, text string")
+    out = prepare_training_corpus(docs, benchmark=bench, scrub_pii=True)
+    assert {r["doc_id"] for r in out.collect()} == {2}
