@@ -87,9 +87,9 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def q_bm25_and(spark, sf_dir):
-    """Q8 AND combinator: 'spark join'. (Benched via bench.py extras;
-    AND stays driver-gated through wand_and_topk + bm25_query_tree —
-    this slot went to bm25_topk_batch in round 4.)"""
+    """Q8 AND combinator, full match set: 'spark join'. (Driver-gated
+    again since round 5 — the text_stats consolidation freed the slot;
+    VERDICT r04 #8.)"""
     return _search_scores(_index(spark, sf_dir), "spark join",
                           combineWith="AND")
 
@@ -634,6 +634,75 @@ def q_sessionize(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30.0)
 
 
+def q_events_ops(spark, sf_dir):
+    """Round-5 consolidation (VERDICT r04 #1): tumbling-window counts AND
+    gap-based sessionization in ONE union-tagged entry (the
+    search_after_maintenance pattern) — both event operators stay
+    driver-gated while freeing a slot for training_corpus."""
+    w = (q_events_windowed(spark, sf_dir)
+         .select(F.lit("window").alias("op"),
+                 F.col("event_type").alias("key"),
+                 F.lit(None).cast("int").alias("session_id"),
+                 F.col("window_start_ms").alias("start_ms"),
+                 F.lit(None).cast("long").alias("end_ms"),
+                 "n_events", "sum_value"))
+    s = (q_sessionize(spark, sf_dir)
+         .select(F.lit("session").alias("op"),
+                 F.col("user_id").cast("string").alias("key"),
+                 "session_id",
+                 F.col("session_start_ms").alias("start_ms"),
+                 F.col("session_end_ms").alias("end_ms"),
+                 "n_events", "sum_value"))
+    return w.unionByName(s)
+
+
+def q_text_stats(spark, sf_dir):
+    """Round-5 consolidation: the two round-4 joined entries (quality
+    features + token counts; stopword + trigram language-ID) folded into
+    ONE per-doc stats row — all four operators stay driver-gated, the
+    freed slot goes to bm25_and (VERDICT r04 #8)."""
+    return q_text_quality(spark, sf_dir).join(q_lang_id(spark, sf_dir),
+                                              "doc_id")
+
+
+def q_training_corpus(spark, sf_dir):
+    """Round-5 (VERDICT r04 #1): the COMPOSED LLM training-data pipeline
+    (pipeline.prepare_training_corpus) end-to-end oracle-gated. Corpus =
+    documents with q_pii_scrub's deterministically injected PII suffix,
+    benchmark = every 37th document (raw). Stage order is pinned by the
+    value hash: PII scrub (both sides — the redacted form must feed every
+    later hash/shingle) → benchmark 3-gram decontamination → quality gate
+    (10 ≤ n_tokens ≤ 100k, ttr > 0.1 on the scrubbed text) → exact +
+    MinHash-LSH duplicate-cluster survivors → deterministic 0.8 sample
+    (portable md5 hex-threshold hash — bit-identical in DuckDB) →
+    token-budget shard packing (n_buckets=1 → the pure window cumsum).
+    The scrub-before-hash ordering is observable: the injected suffix is
+    distinct per doc RAW but identical after redaction, so hashing the
+    wrong form changes the exact-dup collapse and the output hash."""
+    from slimsearch_spark.pipeline import prepare_training_corpus
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    corpus = injected.where(F.col("doc_id") % 37 != 0)
+    bench = base.where(F.col("doc_id") % 37 == 0)
+    out = prepare_training_corpus(
+        corpus, benchmark=bench, scrub_pii=True, decontam_n=3,
+        min_tokens=10, max_tokens=100_000, min_ttr=0.1,
+        sample_fraction=0.8, shard_budget=2000, seed=42,
+        hash_method="md5", n_buckets=1,
+        threshold=0.5, k=8, rows_per_band=2)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      "n_tokens", "pack_bucket", "shard_id")
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata.
     (Consolidated out of the driver's 50-entry window in round-4
@@ -757,8 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash64": q_simhash64,
         "simhash_near_dup": q_simhash_near_dup,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
+        "text_stats": q_text_stats,
+        "bm25_and": q_bm25_and,
         "dedup_clusters": q_dedup_clusters,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -767,8 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
-        "events_windowed": q_events_windowed,
-        "sessionize": q_sessionize,
+        "events_ops": q_events_ops,
+        "training_corpus": q_training_corpus,
         "index_merge": q_index_merge,
         "media_features": q_media_features,
         "image_resize": q_image_resize,
@@ -896,6 +965,14 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY raw * quality DESC, doc_id) <= 10
 ORDER BY query_id, raw * quality DESC, doc_id
 """
+
+    # AND combinator, full match set (round 5, VERDICT r04 #8: the exact
+    # AND plan's correctness previously rode only on pytest + the
+    # WAND-equality fuzz)
+    sql["bm25_and"] = _bm25_sql(
+        "SELECT unnest(['spark','join']) AS term, 1.0 AS weight",
+        having="HAVING count(DISTINCT term) = 2",
+        quality="count(DISTINCT term)")
 
     sql["bm25_and_not"] = f"""
 WITH {_POSTINGS}{_STATS},
@@ -1357,10 +1434,13 @@ FROM documents GROUP BY md5(text)"""
         f"  SELECT doc_id, {b} AS band_id, sig_{2 * b}::VARCHAR || '|' || "
         f"sig_{2 * b + 1}::VARCHAR AS band_sig FROM sigs"
         for b in range(4))
-    near_pair_ctes = rf"""reps AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    # parameterized on the source relation (round 5): training_corpus
+    # runs the identical chain over its scrubbed/gated derived corpus
+    def _near_pair_ctes_for(src: str) -> str:
+        return rf"""reps AS (
+  SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)
 ),
-live AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+live AS (SELECT d.* FROM {src} d JOIN reps USING (doc_id)),
 toks AS (
   SELECT doc_id,
          list_filter(list_transform(
@@ -1419,6 +1499,8 @@ near AS (
   WHERE coalesce(i.i, 0) * 1.0 /
         (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5
 )"""
+
+    near_pair_ctes = _near_pair_ctes_for("documents")
     sql["near_dup_minhash"] = (
         f"WITH {near_pair_ctes}\nSELECT a, b, jaccard FROM near")
 
@@ -1546,6 +1628,99 @@ SELECT doc_id,
            '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
 FROM d"""
 
+    # the COMPOSED training-data pipeline (round 5, VERDICT r04 #1):
+    # scrub (both sides) → decontaminate → quality gate → duplicate
+    # -cluster survivors → portable-hash 0.8 sample → window-cumsum
+    # packing. Every CTE is the per-stage oracle already gated above,
+    # rebased onto the derived corpus; the dedup chain is the identical
+    # _near_pair_ctes_for template over d3.
+    def _scrub(col: str) -> str:
+        return (f"regexp_replace(regexp_replace(regexp_replace({col}, "
+                f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+                f"'{IPV4_RE}', '<IP>', 'g'), "
+                f"'{PHONE_RE}', '<PHONE>', 'g')")
+
+    _TOKS_OF = (r"list_filter(list_transform("
+                r"regexp_split_to_array(text, '[\n\r\p{Z}\p{P}]+'), "
+                r"x -> lower(x)), x -> x <> '')")
+    sql["training_corpus"] = rf"""
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, {pii_text} AS text
+  FROM documents WHERE doc_id % 37 <> 0
+),
+scrubbed AS (SELECT doc_id, {_scrub('text')} AS text FROM raw),
+bench AS (
+  SELECT doc_id, {_scrub('text')} AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+ctoks AS (SELECT doc_id, {_TOKS_OF} AS t FROM scrubbed),
+csh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(length(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+  FROM ctoks
+),
+ctset AS (SELECT DISTINCT doc_id, term FROM csh),
+btoks AS (SELECT doc_id, {_TOKS_OF} AS t FROM bench),
+bsh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(length(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+  FROM btoks
+),
+bterm AS (SELECT DISTINCT term FROM bsh),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM ctset JOIN bterm USING (term)
+),
+quality AS (
+  SELECT doc_id, length(t)::INT AS n_tokens,
+         round(length(list_distinct(t)) * 1.0 /
+               greatest(length(t), 1), 6) AS ttr
+  FROM ctoks
+),
+d3 AS (
+  SELECT s.doc_id, s.text, q.n_tokens
+  FROM scrubbed s JOIN quality q USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND q.n_tokens >= 10 AND q.n_tokens <= 100000 AND q.ttr > 0.1
+),
+{_near_pair_ctes_for('d3')},
+exact_map AS (
+  SELECT d.doc_id AS u, r.rep AS v
+  FROM d3 d
+  JOIN (SELECT md5(text) AS m, min(doc_id) AS rep
+        FROM d3 GROUP BY md5(text)) r ON md5(d.text) = r.m
+),
+edges AS (
+  SELECT u, v FROM exact_map
+  UNION SELECT v, u FROM exact_map
+  UNION SELECT a AS u, b AS v FROM near
+  UNION SELECT b AS u, a AS v FROM near
+),
+walk(u, l) AS (
+  SELECT DISTINCT u, u AS l FROM edges
+  UNION
+  SELECT e.v AS u, w.l FROM walk w JOIN edges e ON e.u = w.u
+),
+labels AS (SELECT u AS doc_id, min(l) AS cluster_id FROM walk GROUP BY u),
+survivors AS (
+  SELECT d3.* FROM d3 JOIN labels USING (doc_id)
+  WHERE labels.cluster_id = d3.doc_id
+),
+sampled AS (
+  SELECT * FROM survivors
+  WHERE ('0x' || substring(md5(concat_ws(chr(31), doc_id, '42')), 1, 8))
+        ::UBIGINT::BIGINT / 4294967296.0 < 0.8
+)
+SELECT doc_id, md5(text) AS text_md5, n_tokens, 0::INT AS pack_bucket,
+       ((sum(n_tokens::BIGINT) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // 2000)::INT AS shard_id
+FROM sampled"""
+
     # 64-bit simhash: tf-weighted bits over two 32-bit md5 halves (the
     # 16-bit variant stays pytest-covered in tests/test_dedup_ops.py; its
     # driver entry was consolidated into this one, round-3 VERDICT #2)
@@ -1660,6 +1835,11 @@ SELECT t.doc_id,
        length(regexp_extract_all(lower(d.text),
            '{ts.BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
 FROM t JOIN documents d ON d.doc_id = t.doc_id"""
+
+    # consolidated per-doc stats entry (round 5): quality ⋈ language-ID
+    sql["text_stats"] = f"""
+SELECT * FROM ({sql.pop("text_quality")}) q
+JOIN ({sql.pop("lang_id")}) l USING (doc_id)"""
 
     # whole-doc md5 + winnowing rolling-hash digest (round 4); the winnow
     # CTE body comes from the same helper that documents the construction
@@ -1818,6 +1998,18 @@ SELECT user_id, session_id,
        min(ms) AS session_start_ms, max(ms) AS session_end_ms,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM sess GROUP BY 1, 2"""
+
+    # consolidated events entry (round 5): window ∪ session, tagged
+    sql["events_ops"] = f"""
+SELECT 'window' AS op, event_type AS key, NULL::INT AS session_id,
+       window_start_ms AS start_ms, NULL::BIGINT AS end_ms,
+       n_events, sum_value
+FROM ({sql.pop("events_windowed")})
+UNION ALL
+SELECT 'session' AS op, user_id::VARCHAR AS key, session_id,
+       session_start_ms AS start_ms, session_end_ms AS end_ms,
+       n_events, sum_value
+FROM ({sql.pop("sessionize")})"""
 
     # sharded merge + absorb must be invisible: full-corpus BM25 oracle
     sql["index_merge"] = sql["bm25_topk"]

@@ -100,17 +100,16 @@ def main() -> None:
         "fuzzy_search", "autosuggest_fuzzy", "search_filtered",
         "search_doc_boosted", "custom_process_term",
         "dedup_exact", "near_dup_minhash", "ngram_jaccard", "simhash64",
-        "simhash_near_dup", "lang_id", "dedup_clusters",
-        "text_quality", "fingerprint",
+        "simhash_near_dup", "text_stats", "dedup_clusters",
+        "fingerprint", "bm25_and",
         "ann_cosine_topk", "ann_lsh_multiprobe", "embedding_near_dup",
-        "events_windowed", "sessionize", "media_features",
-        "decontaminate", "pii_scrub",
+        "events_ops", "media_features",
+        "decontaminate", "pii_scrub", "training_corpus",
     ]
     # consolidated-out driver entries still benched via their q_ functions
     # (wand_topk_adaptive = the production adaptive default; the ivf pair
     # benches live and saved separately — the gated entry unions them)
     extra = {"wand_topk_adaptive": E.q_wand_topk_adaptive,
-             "bm25_and": E.q_bm25_and,
              "ann_ivf_topk": E.q_ann_ivf_topk,
              "ann_ivf_topk_saved": E.q_ann_ivf_topk_saved}
     qs = dict(E.queries(), **extra)

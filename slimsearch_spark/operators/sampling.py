@@ -23,17 +23,45 @@ from pyspark.sql import functions as F
 # with an exact power-of-two divisor keeps the threshold comparison exact
 _HASH_SPAN = float(1 << 64)
 
+# key-column separator for the md5 method: an ASCII control char that
+# cannot appear in typical key values, so ("ab","c") never collides with
+# ("a","bc")
+_MD5_SEP = "\x1f"
 
-def _unit_hash(cols: Sequence[str], seed: int):
+
+def _unit_hash(cols: Sequence[str], seed: int, method: str = "xxhash64"):
     """Uniform [0, 1) value that is a pure function of the key columns —
-    the portable decision variable for all deterministic sampling."""
-    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
-    return (h.cast("double") / F.lit(_HASH_SPAN)) + F.lit(0.5)
+    the portable decision variable for all deterministic sampling.
+
+    ``method="xxhash64"`` (default) is the fast JVM path. ``method="md5"``
+    is the CROSS-ENGINE form: hex chars [1, 9) of md5(concat_ws(0x1f,
+    cols..., seed)) parsed base-16 then divided by 2^32 — every step
+    (32-bit int < 2^53, power-of-two division) is exact in a double, so
+    any engine with md5 reproduces the identical sample. DuckDB:
+    ``('0x' || substring(md5(concat_ws(chr(31), k, '42')), 1, 8))
+    ::UBIGINT::BIGINT / 4294967296.0``."""
+    if method == "xxhash64":
+        h = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
+        return (h.cast("double") / F.lit(_HASH_SPAN)) + F.lit(0.5)
+    if method == "md5":
+        h32 = _md5_hash32(cols, seed)
+        return h32.cast("double") / F.lit(float(1 << 32))
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def _md5_hash32(cols: Sequence[str], seed: int):
+    """Portable 32-bit key hash (same construction as
+    ``dedup.term_hash32``) over the 0x1f-joined key columns + seed."""
+    key = F.concat_ws(_MD5_SEP,
+                      *[F.col(c).cast("string") for c in cols],
+                      F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
 def sample_deterministic(df: DataFrame, fraction: float,
                          key_cols: Sequence[str],
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         method: str = "xxhash64") -> DataFrame:
     """Keep ~``fraction`` of rows, decided by ``xxhash64(key_cols, seed)
     < fraction`` — deterministic, repartition-stable, and CONSISTENT
     across tables: sampling two tables by the same key keeps the same
@@ -47,14 +75,16 @@ def sample_deterministic(df: DataFrame, fraction: float,
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
-    return df.where(_unit_hash(key_cols, seed) < F.lit(float(fraction)))
+    return df.where(_unit_hash(key_cols, seed, method)
+                    < F.lit(float(fraction)))
 
 
 def sample_per_group(df: DataFrame, group_col: str,
                      fractions: Dict[str, float],
                      key_cols: Sequence[str],
                      default_fraction: float = 0.0,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42,
+                     method: str = "xxhash64") -> DataFrame:
     """Stratified deterministic sampling: per-``group_col`` keep rates
     (e.g. ``{"en": 0.1, "de": 1.0}`` over a language column), groups not
     listed fall back to ``default_fraction``. The decision variable is
@@ -73,14 +103,15 @@ def sample_per_group(df: DataFrame, group_col: str,
     for g, f in sorted(fractions.items()):
         expr = F.when(F.col(group_col) == F.lit(g),
                       F.lit(float(f))).otherwise(expr)
-    return df.where(_unit_hash(key_cols, seed) < expr)
+    return df.where(_unit_hash(key_cols, seed, method) < expr)
 
 
 def pack_token_budget(docs: DataFrame, budget: int,
                       count_col: str = "n_tokens",
                       id_col: str = "doc_id",
                       n_buckets: Optional[int] = None,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      method: str = "xxhash64") -> DataFrame:
     """→ docs + (pack_bucket, shard_id): assign documents to training
     shards of ~``budget`` tokens each — the sharding step before writing
     packed training files.
@@ -111,10 +142,15 @@ def pack_token_budget(docs: DataFrame, budget: int,
     spark = docs.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
+    if method == "xxhash64":
+        bucket_hash = F.xxhash64(F.col(id_col), F.lit(seed))
+    elif method == "md5":
+        bucket_hash = _md5_hash32([id_col], seed)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
     bucketed = docs.withColumn(
         "pack_bucket",
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
-               F.lit(int(n_buckets))).cast("int"))
+        F.pmod(bucket_hash, F.lit(int(n_buckets))).cast("int"))
     w = (Window.partitionBy("pack_bucket").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.col(count_col).cast("long")).over(w)

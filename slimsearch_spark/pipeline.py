@@ -51,6 +51,8 @@ def prepare_training_corpus(docs: DataFrame,
                             sample_fraction: Optional[float] = None,
                             shard_budget: Optional[int] = None,
                             seed: int = 42,
+                            hash_method: str = "xxhash64",
+                            n_buckets: Optional[int] = None,
                             **dedup_kwargs) -> DataFrame:
     """Documents → cleaned, decontaminated, deduplicated, (optionally)
     sampled and shard-packed training corpus. Returns the surviving rows
@@ -59,7 +61,10 @@ def prepare_training_corpus(docs: DataFrame,
     ``(pack_bucket, shard_id)`` for the packed writer.
 
     ``dedup_kwargs`` pass through to ``dedup_clusters`` (MinHash k,
-    bands, jaccard threshold, or a precomputed ``pairs`` DataFrame)."""
+    bands, jaccard threshold, or a precomputed ``pairs`` DataFrame).
+    ``hash_method``/``n_buckets`` pass through to the sampling and
+    packing stages (``hash_method="md5"`` makes both cross-engine
+    reproducible — the form the DuckDB oracle gate verifies)."""
     if scrub_pii:
         docs = pii_scrub(docs, text_col)
         if benchmark is not None:
@@ -84,8 +89,9 @@ def prepare_training_corpus(docs: DataFrame,
 
     if sample_fraction is not None:
         docs = sample_deterministic(docs, sample_fraction, [id_col],
-                                    seed=seed)
+                                    seed=seed, method=hash_method)
     if shard_budget is not None:
         docs = pack_token_budget(docs, shard_budget, "n_tokens", id_col,
-                                 seed=seed)
+                                 n_buckets=n_buckets, seed=seed,
+                                 method=hash_method)
     return docs

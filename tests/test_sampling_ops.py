@@ -94,3 +94,50 @@ def test_pack_token_budget_oversize_doc_closes_shard(spark):
     assert shard[2] > shard[1] and shard[3] >= shard[2]
     with pytest.raises(ValueError):
         sp.pack_token_budget(docs, 0)
+
+
+def test_sample_md5_method_cross_engine(docs):
+    """method="md5" (round 5): the portable hex-threshold hash keeps the
+    same properties (rate, repartition stability, nesting) AND reproduces
+    bit-identically in DuckDB — the form the training_corpus oracle
+    verifies end-to-end."""
+    import duckdb
+    s1 = sp.sample_deterministic(docs, 0.25, ["doc_id"], method="md5")
+    s2 = sp.sample_deterministic(docs.repartition(7), 0.25, ["doc_id"],
+                                 method="md5")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2
+    assert 0.15 <= len(ids1) / 400 <= 0.35
+    small = {r["doc_id"] for r in
+             sp.sample_deterministic(docs, 0.1, ["doc_id"],
+                                     method="md5").collect()}
+    assert small <= set(ids1) | {r["doc_id"] for r in
+                                 sp.sample_deterministic(
+                                     docs, 0.4, ["doc_id"],
+                                     method="md5").collect()}
+    dk = [r[0] for r in duckdb.connect().execute("""
+        SELECT i AS doc_id FROM range(0, 400) t(i)
+        WHERE ('0x' || substring(md5(concat_ws(chr(31), i, '42')), 1, 8))
+              ::UBIGINT::BIGINT / 4294967296.0 < 0.25
+        ORDER BY 1""").fetchall()]
+    assert ids1 == dk
+
+
+def test_pack_token_budget_md5_method(docs):
+    """md5-method packing keeps the budget bound and is deterministic."""
+    out = sp.pack_token_budget(docs, 150, n_buckets=4, method="md5")
+    stats = (out.groupBy("pack_bucket", "shard_id")
+             .agg(F.sum("n_tokens").alias("tot"),
+                  F.max("n_tokens").alias("mx")).collect())
+    for s in stats:
+        assert s["tot"] < 150 + s["mx"]
+    again = sp.pack_token_budget(docs.repartition(5), 150, n_buckets=4,
+                                 method="md5")
+    a = {(r["doc_id"], r["pack_bucket"], r["shard_id"])
+         for r in out.collect()}
+    b = {(r["doc_id"], r["pack_bucket"], r["shard_id"])
+         for r in again.collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        sp.pack_token_budget(docs, 150, method="nope")
