@@ -38,18 +38,23 @@ tells which); consumers take ``.distinct()`` on (a, b) — the batch
 operator's ``.distinct()`` is a shuffle the stream cannot pay per batch
 without a second stateful operator.
 
-Signature parity: the per-row Arrow UDF reproduces the batch pipeline
+Signature parity: the Arrow UDF reproduces the batch pipeline
 bit-identically — ``analyze_py`` tokens (cross-validated against the JVM
 tokenizer in test_tokenize.py), space-joined n-gram shingles (the
 pyspark.ml NGram contract), md5-derived 32-bit term hashes and the same
-``MINHASH_PARAMS`` universal hashes mod ``MINHASH_PRIME``.
+``MINHASH_PARAMS`` universal hashes mod ``MINHASH_PRIME``. The hashing
+is batch-vectorized (``band_keys_batch``): one numpy universal-hash
+matrix per Arrow batch + ``minimum.reduceat`` over doc boundaries;
+``band_keys_py`` is the per-row reference form the parity tests compare
+both against.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -96,6 +101,47 @@ def band_keys_py(text: Optional[str], k: int, rows_per_band: int,
             for bi in range(n_bands)]
 
 
+def band_keys_batch(texts: Sequence[Optional[str]], k: int,
+                    rows_per_band: int,
+                    shingle_n: int) -> List[List[Tuple[int, str]]]:
+    """Vectorized ``band_keys_py`` over one Arrow batch: a single
+    ``(n_shingles, k)`` numpy universal-hash matrix and one
+    ``minimum.reduceat`` over doc boundaries replace the per-shingle
+    Python generators. Bit-identical to the per-row form (the universal
+    hash fits uint64: h < 2^32, a < 2^30, so a·h + b < 2^62) —
+    cross-checked doc-by-doc in tests/test_streaming_near_dup.py."""
+    shingle_lists: List[List[str]] = []
+    for s in texts:
+        toks = analyze_py(s) if s is not None else []
+        shingle_lists.append(list({" ".join(toks[i:i + shingle_n])
+                                   for i in range(len(toks) - shingle_n + 1)}))
+    out: List[List[Tuple[int, str]]] = [[] for _ in shingle_lists]
+    counts = np.fromiter((len(l) for l in shingle_lists), dtype=np.int64,
+                         count=len(shingle_lists))
+    if not counts.sum():
+        return out
+    # md5 hex chars [0, 8) == big-endian first 4 digest bytes (the batch
+    # pipeline's term_hash32 / DuckDB oracle form)
+    digests = b"".join(hashlib.md5(sh.encode("utf-8")).digest()[:4]
+                       for lst in shingle_lists for sh in lst)
+    h = np.frombuffer(digests, dtype=">u4").astype(np.uint64)
+    a = np.array([p[0] for p in MINHASH_PARAMS[:k]], dtype=np.uint64)
+    b = np.array([p[1] for p in MINHASH_PARAMS[:k]], dtype=np.uint64)
+    sig_mat = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(
+        MINHASH_PRIME)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    nz = np.nonzero(counts)[0]
+    mins = np.minimum.reduceat(sig_mat, starts[nz], axis=0).tolist()
+    n_bands = k // rows_per_band
+    for di, sigs in zip(nz.tolist(), mins):
+        out[di] = [
+            (bi, "|".join(str(sigs[bi * rows_per_band + r])
+                          for r in range(rows_per_band)))
+            for bi in range(n_bands)]
+    return out
+
+
 def _band_keys_udf(k: int, rows_per_band: int, shingle_n: int):
     if k > len(MINHASH_PARAMS):
         raise ValueError(f"k > {len(MINHASH_PARAMS)} needs more "
@@ -105,8 +151,9 @@ def _band_keys_udf(k: int, rows_per_band: int, shingle_n: int):
 
     @F.pandas_udf(_BAND_TYPE)
     def bands(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda s: band_keys_py(s, k, rows_per_band, shingle_n))
+        return pd.Series(
+            band_keys_batch(texts.tolist(), k, rows_per_band, shingle_n),
+            index=texts.index)
 
     return bands
 

@@ -7,7 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from slimsearch_spark.operators import dedup as dd
-from slimsearch_spark.streaming.near_dup import (band_keys_py,
+from slimsearch_spark.streaming.near_dup import (band_keys_batch,
+                                                 band_keys_py,
                                                  stream_near_dup_candidates)
 
 BASE = "the quick brown fox jumps over the lazy dog tonight"
@@ -58,6 +59,20 @@ def test_band_keys_parity_with_batch(spark):
     # empty / sub-shingle docs land in no bucket
     assert band_keys_py(None, 8, 2, 3) == []
     assert band_keys_py("one two", 8, 2, 3) == []
+
+
+def test_band_keys_batch_matches_per_row():
+    """The vectorized batch form (what the Arrow UDF runs) must be
+    bit-identical to the per-row reference, including empty / None /
+    sub-shingle rows interleaved anywhere in the batch."""
+    texts = ([None, "", "one two"] + [t for _, t in CORPUS]
+             + ["one two three", None, BASE * 4, "x y z " * 20])
+    for k, rpb, n in ((8, 2, 3), (16, 4, 2), (8, 1, 5)):
+        got = band_keys_batch(texts, k, rpb, n)
+        want = [band_keys_py(t, k, rpb, n) for t in texts]
+        assert got == want, (k, rpb, n)
+    assert band_keys_batch([], 8, 2, 3) == []
+    assert band_keys_batch([None, "a b"], 8, 2, 3) == [[], []]
 
 
 def test_stream_candidates_match_batch(spark, tmp_path):
