@@ -38,33 +38,30 @@ tells which); consumers take ``.distinct()`` on (a, b) — the batch
 operator's ``.distinct()`` is a shuffle the stream cannot pay per batch
 without a second stateful operator.
 
-Signature parity: the Arrow UDF reproduces the batch pipeline
-bit-identically — ``analyze_py`` tokens (cross-validated against the JVM
-tokenizer in test_tokenize.py), space-joined n-gram shingles (the
-pyspark.ml NGram contract), md5-derived 32-bit term hashes and the same
-``MINHASH_PARAMS`` universal hashes mod ``MINHASH_PRIME``. The hashing
-is batch-vectorized (``band_keys_batch``): one numpy universal-hash
-matrix per Arrow batch + ``minimum.reduceat`` over doc boundaries;
-``band_keys_py`` is the per-row reference form the parity tests compare
-both against.
+Signature parity: band keys are computed by the SAME JVM expressions as
+the batch pipeline — ``terms_col`` tokens, the pyspark.ml NGram shingler,
+``term_hash32`` md5-derived 32-bit hashes, and ``MINHASH_PARAMS``
+universal hashes mod ``MINHASH_PRIME`` — per row inside whole-stage
+codegen (``bands_df``): ``array_min(transform(hashes, h → (a·h+b) mod p))``
+replaces the batch groupBy, so the stream's map side has zero Python and
+zero shuffle before the stateful operator. ``band_keys_py`` is the
+pure-Python reference form the parity tests compare both engines against.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.tokenize import analyze_py
+from ..functions.tokenize import analyze_py, terms_col
 from ..operators.dedup import (DEFAULT_MAX_BUCKET, MINHASH_PARAMS,
-                               MINHASH_PRIME)
+                               MINHASH_PRIME, term_hash32)
 
 OUT_SCHEMA = "a bigint, b bigint, band_id int"
 STATE_SCHEMA = "members array<bigint>"
@@ -73,12 +70,6 @@ _EMPTY = pd.DataFrame({
     "b": pd.Series([], dtype="int64"),
     "band_id": pd.Series([], dtype="int32"),
 })
-
-_BAND_TYPE = T.ArrayType(T.StructType([
-    T.StructField("band_id", T.IntegerType()),
-    T.StructField("band_sig", T.StringType()),
-]))
-
 
 def band_keys_py(text: Optional[str], k: int, rows_per_band: int,
                  shingle_n: int) -> List[Tuple[int, str]]:
@@ -101,61 +92,66 @@ def band_keys_py(text: Optional[str], k: int, rows_per_band: int,
             for bi in range(n_bands)]
 
 
-def band_keys_batch(texts: Sequence[Optional[str]], k: int,
-                    rows_per_band: int,
-                    shingle_n: int) -> List[List[Tuple[int, str]]]:
-    """Vectorized ``band_keys_py`` over one Arrow batch: a single
-    ``(n_shingles, k)`` numpy universal-hash matrix and one
-    ``minimum.reduceat`` over doc boundaries replace the per-shingle
-    Python generators. Bit-identical to the per-row form (the universal
-    hash fits uint64: h < 2^32, a < 2^30, so a·h + b < 2^62) —
-    cross-checked doc-by-doc in tests/test_streaming_near_dup.py."""
-    shingle_lists: List[List[str]] = []
-    for s in texts:
-        toks = analyze_py(s) if s is not None else []
-        shingle_lists.append(list({" ".join(toks[i:i + shingle_n])
-                                   for i in range(len(toks) - shingle_n + 1)}))
-    out: List[List[Tuple[int, str]]] = [[] for _ in shingle_lists]
-    counts = np.fromiter((len(l) for l in shingle_lists), dtype=np.int64,
-                         count=len(shingle_lists))
-    if not counts.sum():
-        return out
-    # md5 hex chars [0, 8) == big-endian first 4 digest bytes (the batch
-    # pipeline's term_hash32 / DuckDB oracle form)
-    digests = b"".join(hashlib.md5(sh.encode("utf-8")).digest()[:4]
-                       for lst in shingle_lists for sh in lst)
-    h = np.frombuffer(digests, dtype=">u4").astype(np.uint64)
-    a = np.array([p[0] for p in MINHASH_PARAMS[:k]], dtype=np.uint64)
-    b = np.array([p[1] for p in MINHASH_PARAMS[:k]], dtype=np.uint64)
-    sig_mat = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(
-        MINHASH_PRIME)
-    starts = np.zeros(len(counts), dtype=np.int64)
-    starts[1:] = np.cumsum(counts)[:-1]
-    nz = np.nonzero(counts)[0]
-    mins = np.minimum.reduceat(sig_mat, starts[nz], axis=0).tolist()
-    n_bands = k // rows_per_band
-    for di, sigs in zip(nz.tolist(), mins):
-        out[di] = [
-            (bi, "|".join(str(sigs[bi * rows_per_band + r])
-                          for r in range(rows_per_band)))
-            for bi in range(n_bands)]
-    return out
+def bands_df(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", k: int = 8, rows_per_band: int = 2,
+             shingle_n: int = 3, keep_cols: Tuple[str, ...] = ()
+             ) -> DataFrame:
+    """→ (doc_id, band_id, band_sig, *keep_cols): per-document LSH band
+    keys as pure JVM SQL expressions — no Python, no shuffle, works on
+    batch AND streaming frames (every node is stateless).
 
+    Bit-identical to batch ``doc_shingles`` → ``minhash_signatures`` →
+    ``_lsh_bands`` (pre-cap) because it is built from the same pieces:
+    ``terms_col`` tokens, the ml NGram shingler, ``term_hash32``, and the
+    per-permutation ``(a·h + b) mod p`` — only the per-doc min moves from
+    a groupBy aggregate into ``array_min`` over the doc's own hash array.
+    Docs with no shingles produce no rows (explode of a null array),
+    matching the batch groupBy where they have no (doc, term) rows.
 
-def _band_keys_udf(k: int, rows_per_band: int, shingle_n: int):
+    The hash array ``__h`` is materialized in its own projection and only
+    referenced as an attribute by the k ``array_min`` expressions —
+    CollapseProject keeps non-cheap multi-referenced aliases separate, so
+    each shingle is md5-hashed exactly once per permutation set."""
     if k > len(MINHASH_PARAMS):
         raise ValueError(f"k > {len(MINHASH_PARAMS)} needs more "
                          "MINHASH_PARAMS entries")
     if k % rows_per_band:
         raise ValueError("k must be divisible by rows_per_band")
-
-    @F.pandas_udf(_BAND_TYPE)
-    def bands(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            band_keys_batch(texts.tolist(), k, rows_per_band, shingle_n),
-            index=texts.index)
-
-    return bands
+    from pyspark.ml.feature import NGram
+    keep = list(keep_cols)
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        # NULL text → empty token array (the NGram udf NPEs on null input;
+        # batch never feeds it one — explode drops null-text docs earlier)
+        F.coalesce(terms_col(F.col(text_col)),
+                   F.array().cast("array<string>")).alias("__toks"),
+        *keep)
+    sh = NGram(n=shingle_n, inputCol="__toks",
+               outputCol="__sh").transform(toks)
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.array_distinct("__sh"),
+                    lambda x: term_hash32(x)).alias("__h"),
+        *keep)
+    sigs = [F.array_min(F.transform(
+        F.col("__h"),
+        (lambda a_, b_: lambda h: (h * F.lit(a_) + F.lit(b_))
+            % F.lit(MINHASH_PRIME))(a, b)))
+        for a, b in MINHASH_PARAMS[:k]]
+    n_bands = k // rows_per_band
+    melt = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws("|", *[sigs[bi * rows_per_band + r]
+                               for r in range(rows_per_band)])
+            .alias("band_sig"))
+        for bi in range(n_bands)])
+    # null array for shingle-less docs: explode drops the row entirely
+    # (a WHERE would be pushed through the projection and re-evaluate __h)
+    bands = F.when(F.size("__h") > 0, melt)
+    return (hashed.select("doc_id", F.explode(bands).alias("__b"), *keep)
+            .select("doc_id", F.col("__b.band_id").alias("band_id"),
+                    F.col("__b.band_sig").alias("band_sig"), *keep))
 
 
 def _bucket_fn(max_bucket: int, horizon_ms: Optional[int]):
@@ -165,15 +161,21 @@ def _bucket_fn(max_bucket: int, horizon_ms: Optional[int]):
             state.remove()
             yield _EMPTY
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        # most buckets see 1-2 rows per batch: stay in numpy/plain-int
+        # land — pd.concat + sort_values + astype per key was the state
+        # operator's measured Python cost at 35k keys/batch
+        chunks = list(pdfs)
+        rows = (chunks[0] if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True))
         # intra-batch determinism: batch LSH pairs on doc_id order, and a
         # replayed batch must regenerate the same pairs
-        rows = rows.sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        ids = ids[ids.argsort()].tolist()
         members: List[int] = (list(state.get[0]) if state.exists else [])
         seen = set(members)
         out_a: List[int] = []
         out_b: List[int] = []
-        for d in rows["doc_id"].astype("int64"):
+        for d in ids:
             d = int(d)
             if d in seen:
                 continue            # replay / duplicate row: no re-emit
@@ -188,10 +190,12 @@ def _bucket_fn(max_bucket: int, horizon_ms: Optional[int]):
         if horizon_ms is not None:
             state.setTimeoutTimestamp(
                 int(rows["__ms"].max()) + horizon_ms)
+        if not out_a:
+            yield _EMPTY
+            return
         band_id = int(key[0])
-        yield (pd.DataFrame({"a": out_a, "b": out_b,
-                             "band_id": [band_id] * len(out_a)})
-               if out_a else _EMPTY)
+        yield pd.DataFrame({"a": out_a, "b": out_b,
+                            "band_id": [band_id] * len(out_a)})
 
     return update
 
@@ -221,12 +225,10 @@ def stream_near_dup_candidates(stream: DataFrame, text_col: str = "text",
     if (event_time_col is None) != (within is None):
         raise ValueError(
             "pass event_time_col and within together (or neither)")
-    bands_udf = _band_keys_udf(k, rows_per_band, shingle_n)
     horizon_ms: Optional[int] = None
     if within is not None:
         horizon_ms = _interval_ms(within)   # validate before plan building
-    cols = [F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(bands_udf(F.col(text_col))).alias("b")]
+    keep: Tuple[str, ...] = ()
     if event_time_col is not None:
         # same NTZ→LTZ handling as streaming/sessions.py (fixed-offset
         # session zones only; run under UTC)
@@ -234,16 +236,13 @@ def stream_near_dup_candidates(stream: DataFrame, text_col: str = "text",
         stream = (stream
                   .withColumn("__ts", F.from_utc_timestamp(
                       F.col(event_time_col).cast("timestamp"), tz))
-                  .withWatermark("__ts", within))
+                  .withWatermark("__ts", within)
+                  .withColumn("__ms", F.unix_millis(F.col("__ts"))))
         # __ts itself must survive to the stateful operator: the analyzer
         # requires the watermarked attribute in its child plan
-        cols.extend([F.unix_millis(F.col("__ts")).alias("__ms"),
-                     F.col("__ts")])
-    exploded = (stream.select(*cols)
-                .select("doc_id", F.col("b.band_id").alias("band_id"),
-                        F.col("b.band_sig").alias("band_sig"),
-                        *(["__ms", "__ts"]
-                          if event_time_col is not None else [])))
+        keep = ("__ms", "__ts")
+    exploded = bands_df(stream, text_col, id_col, k, rows_per_band,
+                        shingle_n, keep_cols=keep)
     timeout = (GroupStateTimeout.EventTimeTimeout
                if event_time_col is not None
                else GroupStateTimeout.NoTimeout)

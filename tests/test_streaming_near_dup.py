@@ -7,8 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from slimsearch_spark.operators import dedup as dd
-from slimsearch_spark.streaming.near_dup import (band_keys_batch,
-                                                 band_keys_py,
+from slimsearch_spark.streaming.near_dup import (band_keys_py, bands_df,
                                                  stream_near_dup_candidates)
 
 BASE = "the quick brown fox jumps over the lazy dog tonight"
@@ -61,18 +60,27 @@ def test_band_keys_parity_with_batch(spark):
     assert band_keys_py("one two", 8, 2, 3) == []
 
 
-def test_band_keys_batch_matches_per_row():
-    """The vectorized batch form (what the Arrow UDF runs) must be
-    bit-identical to the per-row reference, including empty / None /
-    sub-shingle rows interleaved anywhere in the batch."""
+def test_bands_df_matches_per_row(spark):
+    """The SQL band path (what the stream actually runs) must be
+    bit-identical to the pure-Python reference, including empty / None /
+    sub-shingle rows, across (k, rows_per_band, shingle_n) shapes."""
     texts = ([None, "", "one two"] + [t for _, t in CORPUS]
              + ["one two three", None, BASE * 4, "x y z " * 20])
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
     for k, rpb, n in ((8, 2, 3), (16, 4, 2), (8, 1, 5)):
-        got = band_keys_batch(texts, k, rpb, n)
-        want = [band_keys_py(t, k, rpb, n) for t in texts]
-        assert got == want, (k, rpb, n)
-    assert band_keys_batch([], 8, 2, 3) == []
-    assert band_keys_batch([None, "a b"], 8, 2, 3) == [[], []]
+        got = {}
+        for r in bands_df(docs, k=k, rows_per_band=rpb,
+                          shingle_n=n).collect():
+            got.setdefault(r["doc_id"], set()).add(
+                (r["band_id"], r["band_sig"]))
+        for i, t in rows:
+            assert got.get(i, set()) == set(
+                band_keys_py(t, k, rpb, n)), (i, k, rpb, n)
+    with pytest.raises(ValueError):
+        bands_df(docs, k=7, rows_per_band=2)
+    with pytest.raises(ValueError):
+        bands_df(docs, k=32)
 
 
 def test_stream_candidates_match_batch(spark, tmp_path):
