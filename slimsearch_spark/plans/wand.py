@@ -52,6 +52,7 @@ multi-field queries.
 from __future__ import annotations
 
 import math
+import time
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
@@ -112,7 +113,7 @@ def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
                  blocks_per_shard: int,
                  avg_len_by_fid: Mapping[int, float],
                  fboost_by_fid: Mapping[int, float],
-                 bm25: Mapping[str, float]):
+                 bm25: Mapping[str, float], acc_sec=None):
     """mapInPandas fn: slice each matched (term, field) list row into
     per-shard byte ranges — ONE output slice per (shard, term, field),
     carrying the expansion entry list as array columns (round-3 VERDICT
@@ -124,6 +125,7 @@ def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
 
     def route(iterator):
         for pdf in iterator:
+            t_start = time.perf_counter()
             out: Dict[str, list] = {f.name: [] for f in SHARD_SCHEMA.fields}
             for _, row in pdf.iterrows():
                 expansions = _row_expansions(exp_by_term, row)
@@ -177,6 +179,8 @@ def _route_stage(exp_by_term: Optional[Expansions], doc_count: int,
                         (t_off[s:e] - t_off[s]).astype(np.int64).tolist())
                     out["fl_off"].append(
                         (f_off[s:e] - f_off[s]).astype(np.int64).tolist())
+            if acc_sec is not None:
+                acc_sec.add(time.perf_counter() - t_start)
             yield pd.DataFrame(out)
 
     return route
@@ -274,7 +278,7 @@ def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
                   fboost_by_fid: Mapping[int, float],
                   bm25: Mapping[str, float], k_top: int,
                   tomb: Optional[np.ndarray] = None,
-                  acc_decoded=None):
+                  acc_decoded=None, acc_sec=None):
     """mapInPandas fn for the global-θ pre-pass over the raw matched lists:
     per (term, field) row, decode only the highest-impact blocks (by
     block impact bound) until they cover ≥ k docs, emit (doc_id, exact
@@ -294,6 +298,7 @@ def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
 
     def run(iterator):
         for pdf in iterator:
+            t_start = time.perf_counter()
             out_d: List[np.ndarray] = []
             out_s: List[np.ndarray] = []
             for _, row in pdf.iterrows():
@@ -333,6 +338,8 @@ def _theta0_stage(exp_by_term: Optional[Expansions], doc_count: int,
                     d, scores = d[keep], scores[keep]
                 out_d.append(d.astype(np.int64))
                 out_s.append(scores)
+            if acc_sec is not None:
+                acc_sec.add(time.perf_counter() - t_start)
             if out_d:
                 yield pd.DataFrame({
                     "doc_id": np.concatenate(out_d),
@@ -789,6 +796,7 @@ def wand_topk(posting_lists: DataFrame,
     blocks_per_shard = max(1, math.ceil(n_grid / n_shards))
 
     acc_total = acc_decoded = acc_theta0 = None
+    acc_route_sec = acc_theta0_sec = None
     if metrics is not None:
         acc_total = spark.sparkContext.accumulator(0)
         acc_decoded = spark.sparkContext.accumulator(0)
@@ -798,6 +806,14 @@ def wand_topk(posting_lists: DataFrame,
         # pre-pass's bounded per-term probe decodes are reported separately
         metrics["blocks_decoded"] = acc_decoded
         metrics["blocks_theta0_decoded"] = acc_theta0
+        # Python wall-seconds spent inside the route / θ0 per-list loops,
+        # summed across tasks (> elapsed at full parallelism): the wide
+        # fan-out evidence — how much of a 10⁴-derived-term query the
+        # per-(term, field) Python rows cost (round-4 VERDICT #4)
+        acc_route_sec = spark.sparkContext.accumulator(0.0)
+        acc_theta0_sec = spark.sparkContext.accumulator(0.0)
+        metrics["route_sec"] = acc_route_sec
+        metrics["theta0_sec"] = acc_theta0_sec
 
     theta0 = 0.0
     if combine_with == "or":
@@ -811,7 +827,7 @@ def wand_topk(posting_lists: DataFrame,
                .mapInPandas(_theta0_stage(exp_by_term, doc_count,
                                           avg_by_fid, fboost,
                                           bm25, k_top, tomb,
-                                          acc_theta0),
+                                          acc_theta0, acc_theta0_sec),
                             T.StructType([
                                 T.StructField("doc_id", T.LongType()),
                                 T.StructField("s", T.DoubleType())]))
@@ -825,7 +841,8 @@ def wand_topk(posting_lists: DataFrame,
 
     routed = matched.mapInPandas(
         _route_stage(exp_by_term, doc_count, blocks_per_shard,
-                     avg_by_fid, fboost, bm25), SHARD_SCHEMA)
+                     avg_by_fid, fboost, bm25, acc_route_sec),
+        SHARD_SCHEMA)
     if combine_with == "and":
         stage = _shard_stage_and(k_top, len(branches), n_qt,
                                  bm25, tomb, acc_total, acc_decoded)
