@@ -778,3 +778,70 @@ def near_dup_pairs_against(new_docs: DataFrame, corpus_docs: DataFrame,
     # and the verify join re-scans both term sets at action time
     terms = new_terms.unionByName(corpus_terms)
     return _verify_jaccard(cands, terms, threshold)
+
+
+def near_dup_pairs_against_bands(new_docs: DataFrame,
+                                 corpus_bands: DataFrame,
+                                 corpus_docs: DataFrame,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id", k: int = 8,
+                                 rows_per_band: int = 2,
+                                 threshold: float = 0.5,
+                                 shingle_n: int = 3,
+                                 max_bucket: int = DEFAULT_MAX_BUCKET,
+                                 id_pushdown_limit: int = 100_000
+                                 ) -> Tuple[DataFrame, DataFrame]:
+    """Band-store form of ``near_dup_pairs_against`` (round 5): the
+    corpus side arrives as its PERSISTED LSH band table (doc_id,
+    band_id, band_sig) — appended batch-over-batch by the ingest loop —
+    so a batch check never re-shingles or re-hashes corpus text. Per
+    batch the work is O(batch) shingle/MinHash, one equi-join of the
+    batch's bands against the store scan (three skinny columns — no
+    text), and exact-Jaccard verification whose corpus text is fetched
+    BY ID: collected into a parquet-pushed ``IN`` filter while the
+    collision set is under ``id_pushdown_limit`` (row-group pruning —
+    the common case, since collisions are bounded by batch·bands·cap),
+    a left-semi join otherwise.
+
+    Returns ``(pairs, new_bands)``: ``pairs`` as (a = new doc_id, b =
+    corpus doc_id, jaccard ≥ threshold), same semantics/rounding as the
+    symmetric operators; ``new_bands`` is the batch's own capped band
+    table (cached — it fed the join), which the caller appends to the
+    store for its SURVIVORS so the next batch checks against them.
+
+    Cap semantics differ from the two-sided operator by necessity: the
+    store grows by appends, so a pre-capped corpus side could never
+    admit new bucket members deterministically. Instead the batch side
+    is capped per bucket as usual and the corpus side is capped AT JOIN
+    TIME — at most ``max_bucket`` corpus collisions per (batch doc,
+    band), smallest corpus ids first (deterministic) — bounding fan-out
+    at batch·bands·cap per band either way."""
+    new_terms = doc_shingles(new_docs, shingle_n, text_col, id_col).cache()
+    new_terms.count()
+    nb = _lsh_bands(minhash_signatures(new_terms, k), k, rows_per_band,
+                    max_bucket).cache()
+    raw = (nb.alias("n").join(
+        corpus_bands.alias("c"),
+        (F.col("n.band_id") == F.col("c.band_id"))
+        & (F.col("n.band_sig") == F.col("c.band_sig"))
+        & (F.col("n.doc_id") != F.col("c.doc_id")))
+        .select(F.col("n.doc_id").alias("a"),
+                F.col("n.band_id").alias("band_id"),
+                F.col("c.doc_id").alias("b")))
+    if max_bucket:
+        w = Window.partitionBy("a", "band_id").orderBy("b")
+        raw = (raw.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= max_bucket))
+    cands = raw.select("a", "b").distinct().cache()
+    hit = (cands.select("b").distinct()
+           .limit(id_pushdown_limit + 1).collect())
+    if len(hit) <= id_pushdown_limit:
+        corpus_hit = corpus_docs.where(
+            F.col(id_col).isin([r["b"] for r in hit]))
+    else:
+        corpus_hit = corpus_docs.join(
+            cands.select(F.col("b").alias(id_col)).distinct(),
+            id_col, "left_semi")
+    hit_terms = doc_shingles(corpus_hit, shingle_n, text_col, id_col)
+    terms = new_terms.unionByName(hit_terms)
+    return _verify_jaccard(cands, terms, threshold), nb
