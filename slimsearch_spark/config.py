@@ -39,6 +39,18 @@ DEFAULT_EXPANSION_COLLECT_THRESHOLD = 10_000
 # expansionCollectThreshold in options always wins over the heuristic.
 DEFAULT_EXPANSION_DF_MIN_DOCS = 250_000
 
+# Block-max WAND is the wrong plan at extreme expansion fan-out: with
+# thousands of derived query terms every doc matches many lists, theta
+# never clears the per-list bounds (0% of 20.9M blocks pruned at 20k
+# terms x 1M docs — BASELINE.md round-5 wide-fanout probe) and the
+# per-list kernel overhead makes WAND 3.3-3.7x SLOWER than the exact
+# JVM plan, which is scan-dominated and nearly flat in term count.
+# Above this many derived terms search_topk_wand serves the
+# (result-identical by contract) exact plan instead; the width probe is
+# one bounded count over the cached term dictionary. Calibrated by the
+# round-5 fan-out crossover sweep (BASELINE.md).
+DEFAULT_WAND_FANOUT_EXACT_THRESHOLD = 4_096
+
 # Callable boostDocument evaluates driver-side over the live doc map (the
 # reference's per-result callback has no distributed form); above this many
 # live docs the engine raises instead of silently collecting the corpus —

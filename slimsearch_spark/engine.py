@@ -33,7 +33,8 @@ from .config import (AND, AND_NOT, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
                      DEFAULT_DOC_BOOST_COLLECT_THRESHOLD,
                      DEFAULT_EXPANSION_COLLECT_THRESHOLD,
                      DEFAULT_EXPANSION_DF_MIN_DOCS, DEFAULT_MAX_FUZZY,
-                     DEFAULT_WEIGHTS, OR, WILDCARD, IndexConfig)
+                     DEFAULT_WAND_FANOUT_EXACT_THRESHOLD, DEFAULT_WEIGHTS,
+                     OR, WILDCARD, IndexConfig)
 from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats, tokenize_fields)
@@ -989,6 +990,8 @@ class SparkSearchIndex:
                          adaptive_min_docs: int = 100_000,
                          tombstone_collect_threshold: int = 1_000_000,
                          filter_collect_threshold: int = 1_000_000,
+                         wide_fanout_exact_threshold: Optional[int] =
+                         DEFAULT_WAND_FANOUT_EXACT_THRESHOLD,
                          **options) -> DataFrame:
         """Top-k search over the compacted index with distributed block-max
         WAND pruning (plans/wand.py).
@@ -1029,7 +1032,13 @@ class SparkSearchIndex:
         Wide expansions (matched terms > expansionCollectThreshold) take
         the pruned path too (round 4): the expansion ships as a DataFrame
         joined against the compacted lists inside ``wand_topk`` — no
-        driver materialization of the derived-term set.
+        driver materialization of the derived-term set. Above
+        ``wide_fanout_exact_threshold`` derived terms (round 5) the
+        pruned path is provably counterproductive — theta never clears
+        the per-list bounds, 0% of blocks prune, and per-list overhead
+        loses 3.3-3.7x to the exact plan (BASELINE.md round-5 fan-out
+        probe) — so the engine serves the result-identical exact plan
+        instead (None disables; ``metrics=`` callers always get WAND).
 
         After ``add_all`` on a compacted index, the new docs live in an
         appended SEGMENT (incremental compaction — no index rewrite);
@@ -1103,6 +1112,26 @@ class SparkSearchIndex:
             branch_ids = [s["branch"] for s in specs]
             n_query_terms = len({s["term"] for s in specs})
             expansion_rows = []
+        if (wide_fanout_exact_threshold is not None
+                and posting_lists is None and metrics is None):
+            # extreme fan-out fallback (round 5): above the crossover
+            # WAND decodes everything (theta never clears the per-list
+            # bounds when thousands of lists each contribute) and its
+            # per-list kernel overhead loses 3.3-3.7x to the exact JVM
+            # plan (BASELINE.md round-5 wide-fanout probe + crossover
+            # sweep) — serve the result-identical exact plan instead.
+            # The width probe is bounded: len() on a collected
+            # expansion, or limit(n+1).count() on the cached term
+            # dictionary for DataFrame expansions. metrics= callers
+            # (pruning probes) always get the real WAND path.
+            limit = int(wide_fanout_exact_threshold)
+            if expansion_df is not None:
+                wide = expansion_df.limit(limit + 1).count() > limit
+            else:
+                wide = len(expansion_rows) > limit
+            if wide:
+                return (self.search_df(query, top_k=k, **options)
+                        .select("doc_id", "score"))
         if posting_lists is None:
             lists = self.posting_lists(layout)
             # the grid span the cached lists were actually built with

@@ -150,6 +150,51 @@ def test_wand_wide_expansion_df_path(index):
         assert wide == _wand_topk(index, q, 10, **kw), (q, kw)
 
 
+def test_wand_extreme_fanout_exact_fallback(index):
+    """Round 5: above ``wide_fanout_exact_threshold`` derived terms the
+    pruned path is provably counterproductive (theta never clears the
+    per-list bounds — 0% of blocks pruned at 20k terms x 1M docs, WAND
+    3.3-3.7x slower; BASELINE.md round-5 fan-out probe) and
+    search_topk_wand serves the result-identical exact plan instead.
+    The fallback must fire on both expansion paths (DataFrame and
+    broadcast), produce identical results, and stay OFF for metrics=
+    callers (pruning probes need the real WAND path)."""
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    q, kw = "pa", {"prefix": True}
+    want = _full_topk(index, q, 10, **kw)
+    # DF-expansion path above the width threshold -> exact plan (no
+    # Arrow kernel stage in the physical plan)
+    fb = index.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                expansionCollectThreshold=0,
+                                wide_fanout_exact_threshold=1, **kw)
+    assert "InPandas" not in plan_of(fb)
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in fb.collect()] == want
+    # broadcast-expansion path above the threshold falls back too
+    fb2 = index.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                 wide_fanout_exact_threshold=1, **kw)
+    assert "InPandas" not in plan_of(fb2)
+    assert [(r["doc_id"], round(r["score"], 9))
+            for r in fb2.collect()] == want
+    # metrics= callers keep the pruned path even above the threshold
+    metrics: dict = {}
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           index.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                  expansionCollectThreshold=0,
+                                  wide_fanout_exact_threshold=1,
+                                  metrics=metrics, **kw).collect()]
+    assert got == want
+    assert metrics["blocks_decoded"].value > 0
+
+
 def test_wand_single_hot_term(index):
     # stopword-like hot term: every doc matches; pruning must still keep
     # the exact top-k
