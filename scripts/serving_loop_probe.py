@@ -61,7 +61,7 @@ def main() -> None:
     spark = (SparkSession.builder.master(f"local[{cores}]")
              .config("spark.sql.shuffle.partitions", str(cores))
              .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.driver.memory", "16g")
+             .config("spark.driver.memory", "24g")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,6 +159,11 @@ def main() -> None:
         top = served.search_topk_wand(queries[0], 10).collect()
         serve_sec = round(time.time() - t0, 3)
         assert len(top) == 10
+        # release the superseded generation: without this, ten 1M-doc
+        # cold loads accumulate ~10 generations of cached tables in one
+        # local-mode heap and the loop OOMs at batch ~5 (the finding
+        # that motivated SparkSearchIndex.unpersist)
+        served.unpersist()
         incoming.unpersist()
         per_batch.append({"batch": b, "incoming": n_in, "kept": n_kept,
                           "ingest_sec": ingest_sec,

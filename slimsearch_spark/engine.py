@@ -1559,6 +1559,34 @@ class SparkSearchIndex:
         self._segments_mergeable = False
         self._term_dict = None
 
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release EVERY cached DataFrame this index holds — base tables
+        (postings/doc_stats/docs), compacted posting lists, appended
+        segments, term dictionary, tombstone caches.
+
+        Why this exists (round 5, found by the 1M serving-loop probe): a
+        long-lived session that serves successive index GENERATIONS — a
+        cold reader calling ``load_index`` after every ingest batch, a
+        blue/green swap, a test loop — accumulates every generation's
+        caches in executor storage memory; ten 1M-doc generations
+        overflowed a 16 GB local-mode heap where one fits easily. Spark
+        only evicts cached blocks LRU under allocation pressure, and in
+        local mode storage and execution share a single JVM heap, so the
+        pressure shows up as GC thrash before eviction saves you.
+        Dropping the superseded generation explicitly is deterministic.
+
+        The index stays fully usable afterwards — every cache rebuilds
+        lazily on next use — so this is a memory release, not a close."""
+        self._drop_tombstone_caches()
+        self._invalidate_posting_lists()
+        for df in (self.postings, self.doc_stats, self.docs,
+                   self._tombstone_df):
+            if df is not None:
+                try:
+                    df.unpersist(blocking)
+                except Exception:
+                    pass
+
     def add_all(self, new_docs: DataFrame,
                 order_cols: Optional[Sequence[str]] = None) -> None:
         """Incremental append: new doc_ids continue from next_id; running
