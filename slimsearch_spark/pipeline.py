@@ -31,6 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .operators.decontam import decontaminate
 from .operators.dedup import drop_near_duplicates
@@ -53,6 +54,7 @@ def prepare_training_corpus(docs: DataFrame,
                             seed: int = 42,
                             hash_method: str = "xxhash64",
                             n_buckets: Optional[int] = None,
+                            persist_gated: bool = True,
                             **dedup_kwargs) -> DataFrame:
     """Documents → cleaned, decontaminated, deduplicated, (optionally)
     sampled and shard-packed training corpus. Returns the surviving rows
@@ -64,7 +66,22 @@ def prepare_training_corpus(docs: DataFrame,
     bands, jaccard threshold, or a precomputed ``pairs`` DataFrame).
     ``hash_method``/``n_buckets`` pass through to the sampling and
     packing stages (``hash_method="md5"`` makes both cross-engine
-    reproducible — the form the DuckDB oracle gate verifies)."""
+    reproducible — the form the DuckDB oracle gate verifies).
+
+    ``persist_gated`` (default True) materializes the scrub → decontam →
+    quality-gate result ONCE before the dedup stage fans out. The dedup
+    stage references its input from many plan branches (exact-dup rep
+    map, MinHash signatures, both band-join sides, the exact-Jaccard
+    verify joins, the survivor semi-join), and Catalyst does not reuse
+    common subplans across branches — measured on the composed plan:
+    12 parquet scans of the corpus and 63 replicated copies of the PII
+    scrub's regexp chain without the persist, i.e. ~10 redundant passes
+    over corpus text per action at 100 TB. MEMORY_AND_DISK keeps the
+    gated (smallest-so-far) form; partitions spill rather than OOM. The
+    cache lives until the session drops the returned plan (Spark's
+    ContextCleaner) or the caller clears it; pass False to keep the
+    plan fully lazy (e.g. when the caller persists a checkpoint of its
+    own or the corpus is tiny)."""
     if scrub_pii:
         docs = pii_scrub(docs, text_col)
         if benchmark is not None:
@@ -84,6 +101,8 @@ def prepare_training_corpus(docs: DataFrame,
                       & (F.col("ttr") > min_ttr))
                .select(F.col("doc_id").alias(id_col), "n_tokens"))
     docs = docs.join(quality, id_col)
+    if persist_gated:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     docs = drop_near_duplicates(docs, text_col, id_col, **dedup_kwargs)
 
