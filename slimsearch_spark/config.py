@@ -51,6 +51,18 @@ DEFAULT_EXPANSION_DF_MIN_DOCS = 250_000
 # round-5 fan-out crossover sweep (BASELINE.md).
 DEFAULT_WAND_FANOUT_EXACT_THRESHOLD = 4_096
 
+# The disjunctive-WAND global-θ pre-pass is its own Spark action (one
+# mapInPandas over the matched lists + a k-th-largest collect) BEFORE the
+# main pruned pass. Seeding θ0 only pays when there are enough blocks for
+# pruning to matter: below this many live docs the grid is a handful of
+# blocks per list and the pre-pass job costs more wall clock than it
+# prunes (round-6 measurement at 5k docs: OR = 2 jobs slower than AND,
+# which has no pre-pass, on result-identical queries). θ0 = 0 is always
+# CORRECT (WAND prunes only provably sub-threshold blocks; the top-k is
+# identical either way), so this is a pure plan-cost knob — skipping the
+# pre-pass small, keeping it at scale. metrics= probes always run it.
+DEFAULT_WAND_THETA0_MIN_DOCS = 100_000
+
 # Callable boostDocument evaluates driver-side over the live doc map (the
 # reference's per-result callback has no distributed form); above this many
 # live docs the engine raises instead of silently collecting the corpus —

@@ -40,7 +40,7 @@ from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats, tokenize_fields)
 from .oracle import js_round
 from .plans.scoring import (EXPANSION_SCHEMA, combine_results,
-                            combine_scored, empty_result, score_expansion)
+                            empty_result, score_and_combine)
 
 
 def _default_process_term(term: str) -> str:
@@ -323,16 +323,40 @@ class SparkSearchIndex:
             warnings.warn(message)
 
     def term_dictionary(self, field_ids: Sequence[int]) -> DataFrame:
-        """Distinct (term, field_id) over live postings — the prefix/fuzzy
-        expansion dictionary. Cached across queries (it is tiny relative to
-        postings and every expansion query needs it); invalidated on any
-        postings mutation."""
+        """(term, field_id, df) over live postings — the prefix/fuzzy
+        expansion dictionary, carrying per-(term, field) document
+        frequency (round 6: the df column costs nothing extra — the
+        distinct the dictionary always paid IS a groupBy — and feeds
+        scoring's df table below, replacing a per-query aggregation over
+        the postings with a filter over this vocabulary-sized cache).
+        Cached across queries (it is tiny relative to postings and every
+        expansion query needs it); invalidated on any postings mutation."""
         if getattr(self, "_term_dict", None) is None:
             self._term_dict = (self.live_postings()
-                               .select("term", "field_id").distinct().cache())
+                               .groupBy("term", "field_id")
+                               .agg(F.count("*").cast("int").alias("df"))
+                               .cache())
         return (self._term_dict
                 .where(F.col("field_id").isin(list(field_ids)))
                 .select("term").distinct())
+
+    def _df_table(self, derived_terms: Sequence[str],
+                  field_ids: Sequence[int]) -> Optional[DataFrame]:
+        """Per-(term, field) LIVE document frequencies for a query's
+        derived terms, served from the cached term dictionary — the
+        inverted index's dictionary doing its classic job. None when
+        tombstones exist: the cached df could predate a discard, and the
+        lazy-delete recount (an aggregation over the tombstone-filtered
+        postings) is the correct source there."""
+        if self.has_tombstones():
+            return None
+        if getattr(self, "_term_dict", None) is None:
+            self.term_dictionary(field_ids)
+        return (self._term_dict
+                .where(F.col("term").isin(sorted(set(derived_terms)))
+                       & F.col("field_id").isin(list(field_ids)))
+                .select("term", "field_id",
+                        F.col("df").cast("double").alias("df")))
 
     # -------------------------------------------------------------- expansion
     def _expand_spec(self, spec: dict, opts: dict,
@@ -699,15 +723,19 @@ class SparkSearchIndex:
         else:
             postings = self._pruned_postings(
                 self.live_postings(), [r[2] for r in expansion_rows])
-        scored = score_expansion(
+        # one-plan score + combinator fused into a single aggregation
+        # (round 6 — plans/scoring.score_and_combine): the postings join
+        # subtree stays single AND the per-branch/per-doc double
+        # aggregation collapses to one groupBy(doc_id)
+        df_table = None
+        if not expansion_dfs:
+            df_table = self._df_table([r[2] for r in expansion_rows],
+                                      field_ids)
+        return score_and_combine(
             self.spark, postings, self.doc_stats, expansion,
             field_ids, field_boost_by_id, self.avg_field_length,
-            self.doc_count, bm25, doc_boost_df)
-
-        # one-plan combinator over the branch column (no per-branch
-        # filter+union: the postings join subtree stays single)
-        return combine_scored(scored, [s["branch"] for s in specs],
-                              opts.get("combineWith", OR))
+            self.doc_count, bm25, opts.get("combineWith", OR),
+            [s["branch"] for s in specs], doc_boost_df, df_table)
 
     def search_df(self, query, **options) -> DataFrame:
         """Distributed search plan → DataFrame(doc_id, <ext id>, score,
@@ -778,18 +806,22 @@ class SparkSearchIndex:
                 wide.append(d.select(F.lit(qi).cast("int").alias("query_id"),
                                      *EXPANSION_SCHEMA.fieldNames()))
         exp = self.spark.createDataFrame(rows, BATCH_EXPANSION_SCHEMA)
+        derived = None
+        dft = None
         if wide:
             for d in wide:
                 exp = exp.unionByName(d)
             postings = self.live_postings()
         else:
             exp = F.broadcast(exp)
-            postings = self._pruned_postings(
-                self.live_postings(), [r[3] for r in rows])
+            derived = [r[3] for r in rows]
+            dft = self._df_table(derived, field_ids)
+            postings = self._pruned_postings(self.live_postings(), derived)
         return score_many(
             self.spark, postings, self.doc_stats, exp, field_ids,
             field_boost_by_id, self.avg_field_length, self.doc_count,
-            bm25, cw, branch_counts, k=top_k)
+            bm25, cw, branch_counts, k=top_k, derived_terms=derived,
+            df_table=dft)
 
     def search_topk_wand_many(self, queries: Sequence[str], k: int,
                               max_concurrency: int = 4,
@@ -992,6 +1024,7 @@ class SparkSearchIndex:
                          filter_collect_threshold: int = 1_000_000,
                          wide_fanout_exact_threshold: Optional[int] =
                          DEFAULT_WAND_FANOUT_EXACT_THRESHOLD,
+                         theta0_min_docs: Optional[int] = None,
                          **options) -> DataFrame:
         """Top-k search over the compacted index with distributed block-max
         WAND pruning (plans/wand.py).
@@ -1188,7 +1221,8 @@ class SparkSearchIndex:
             layout=layout, max_doc_id=self.next_id - 1,
             tombstones=tombstones, live_df=live_df, segmented=segmented,
             expansion_df=expansion_df, branch_ids=branch_ids,
-            n_query_terms=n_query_terms, metrics=metrics)
+            n_query_terms=n_query_terms, metrics=metrics,
+            theta0_min_docs=theta0_min_docs)
 
     def search(self, query, **options) -> List[dict]:
         """Parity-shaped results (reference search(), src/search.ts:169-209)."""
@@ -1661,7 +1695,11 @@ class SparkSearchIndex:
         self.docs = self.docs.unionByName(
             new_docs_rows, allowMissingColumns=True).cache()
         self.doc_count += n_new
-        if "doc_id" in new_docs.columns:
+        if "doc_id" in new_docs.columns and n_new:
+            # n_new guard (round 6): an EMPTY batch aggregates min/max to
+            # NULL and the int() cast raised TypeError — latent since the
+            # caller-id path landed; next_id/floor are correctly untouched
+            # by a no-op batch
             lo_hi = assigned.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
             self.next_id = max(self.next_id, int(lo_hi[1]) + 1)
             floor = getattr(self, "_segment_floor", None)
@@ -1685,12 +1723,16 @@ class SparkSearchIndex:
             # re-encode before top-k service resumes (round-4)
             self._append_segment(new_postings, new_stats)
             if getattr(self, "_term_dict", None) is not None:
-                # dictionary-sized union+distinct, not a postings rescan
+                # dictionary-sized re-aggregation, not a postings rescan:
+                # the dictionary carries df (round 6), so the batch's own
+                # per-(term, field) counts fold in by sum
                 old_td = self._term_dict
                 td = (old_td
                       .unionByName(
-                          new_postings.select("term", "field_id").distinct())
-                      .distinct().cache())
+                          new_postings.groupBy("term", "field_id")
+                          .agg(F.count("*").cast("int").alias("df")))
+                      .groupBy("term", "field_id")
+                      .agg(F.sum("df").cast("int").alias("df")).cache())
                 td.count()
                 try:
                     old_td.unpersist()
@@ -1787,11 +1829,14 @@ class SparkSearchIndex:
         if getattr(self, "_posting_lists", None) is not None and n_new:
             self._append_segment(new_postings, new_stats)
             if getattr(self, "_term_dict", None) is not None:
+                # df-carrying dictionary: fold the absorbed shard's counts
                 old_td = self._term_dict
                 td = (old_td
                       .unionByName(
-                          new_postings.select("term", "field_id").distinct())
-                      .distinct().cache())
+                          new_postings.groupBy("term", "field_id")
+                          .agg(F.count("*").cast("int").alias("df")))
+                      .groupBy("term", "field_id")
+                      .agg(F.sum("df").cast("int").alias("df")).cache())
                 td.count()
                 try:
                     old_td.unpersist()

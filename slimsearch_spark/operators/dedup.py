@@ -156,19 +156,42 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, rows_per_band: int = 2,
                         max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 LSH band.
 
-    Self-join on (band_id, band_sig): docs only meet if a whole band of
-    MinHashes agrees — the candidate set is tiny relative to n². Buckets
-    larger than ``max_bucket`` are truncated to their first ``max_bucket``
-    members by doc_id (deterministic, oracle-mirrorable via QUALIFY
-    row_number) so one boilerplate cluster cannot emit O(m²) pairs."""
+    Bucket equi-match on (band_id, band_sig): docs only meet if a whole
+    band of MinHashes agrees — the candidate set is tiny relative to n².
+    Buckets larger than ``max_bucket`` are truncated to their first
+    ``max_bucket`` members by doc_id (deterministic, oracle-mirrorable via
+    QUALIFY row_number) so one boilerplate cluster cannot emit O(m²)
+    pairs; the cap also bounds the per-bucket member list the pair
+    explode collects (``_pairs_from_bands``)."""
     u = _lsh_bands(sigs, k, rows_per_band, max_bucket)
-    return _pairs_from_bands(u)
+    return _pairs_from_bands(u, capped=bool(max_bucket))
 
 
-def _pairs_from_bands(u: DataFrame) -> DataFrame:
-    """distinct (a, b), a < b, sharing a (band_id, band_sig) bucket. When
-    ``u`` is cached AFTER its cap window, the cached partitioning already
-    satisfies the join keys — the self-join adds no shuffle."""
+def _pairs_from_bands(u: DataFrame, capped: bool = True) -> DataFrame:
+    """distinct (a, b), a < b, sharing a (band_id, band_sig) bucket.
+
+    ``capped=True`` (bucket membership already truncated to ``max_bucket``
+    docs): one groupBy per bucket collects the ≤cap member ids into a
+    sorted array and a narrow explode emits the i<j pairs — the groupBy
+    reuses the cap window's (band_id, band_sig) exchange, so pair
+    generation adds NO shuffle and never recomputes the banded table,
+    where the previous self-join shuffled (and re-derived) it twice
+    (guide §2.4: two operations keyed the same way share one exchange).
+    Per-bucket memory is O(cap) ids — bounded by construction.
+
+    Uncapped callers keep the self-join: an uncapped bucket's member
+    list would be unbounded per-row state."""
+    if capped:
+        members = (u.groupBy("band_id", "band_sig")
+                   .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
+                   .where(F.size("ms") >= 2))
+        pair = F.explode(F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"))
+        return (members.select(pair.alias("p"))
+                .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .distinct())
     left = u.alias("l")
     right = u.alias("r")
     return (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
@@ -248,9 +271,8 @@ def _verify_jaccard(cands: DataFrame, terms: DataFrame,
     Set sizes aggregate the PRUNED term sets, not the full corpus — the
     candidate docs are a vanishing fraction of the corpus at scale, and an
     inner size-join drops sizeless docs either way."""
-    cand_docs = (cands.select(F.col("a").alias("doc_id"))
-                 .unionByName(cands.select(F.col("b").alias("doc_id")))
-                 .distinct())
+    cand_docs = (cands.select(F.explode(F.array("a", "b")).alias("doc_id"))
+                 .distinct())  # one scan of cands, not a two-branch union
     cterms = terms.join(cand_docs, "doc_id", "left_semi")
     sizes = cterms.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (cands
@@ -284,9 +306,8 @@ def _verify_jaccard_sets(cands: DataFrame, terms: DataFrame,
     per-row memory is O(longest candidate document). For corpora with
     multi-hundred-MB single documents pass ``collect_verify=False`` to the
     calling operator and take the streaming composite-key join instead."""
-    cand_docs = (cands.select(F.col("a").alias("doc_id"))
-                 .unionByName(cands.select(F.col("b").alias("doc_id")))
-                 .distinct())
+    cand_docs = (cands.select(F.explode(F.array("a", "b")).alias("doc_id"))
+                 .distinct())  # one scan of cands, not a two-branch union
     csets = (terms.join(cand_docs, "doc_id", "left_semi")
              .groupBy("doc_id")
              .agg(F.collect_set("term").alias("ts"),
@@ -391,25 +412,38 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         if dedup_exact_first:
             docs = _collapse_exact_dups(docs, text_col, id_col)
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
-    terms.count()  # materialize once; candidates + capped-verify re-scan
-    # inverted-index candidates: rare shingles only. The df filter keys the
-    # same shuffle the capped-intersection join needs (term), and the
-    # self-join fan-out is bounded by max_shingle_df² per shingle.
+    # inverted-index candidates: rare shingles only. Caches stay LAZY —
+    # AQE's TableCacheQueryStage materializes a shared InMemoryRelation
+    # once per action, so the round-4 eager count() jobs (2 extra full
+    # actions) bought nothing (round-6 measurement: same plan, fewer jobs).
     dfc = terms.groupBy("term").agg(F.count("*").alias("__df"))
-    rterms = terms.join(dfc.where(F.col("__df") <= max_shingle_df)
-                        .select("term"), "term", "left_semi")
-    left = rterms.alias("l")
-    right = rterms.alias("r")
-    # one row per shared rare shingle → count = |A∩B restricted to rare|
-    pairs = (left.join(right, (F.col("l.term") == F.col("r.term"))
-                       & (F.col("l.doc_id") < F.col("r.doc_id")))
-             .select(F.col("l.doc_id").alias("a"),
-                     F.col("r.doc_id").alias("b"))
+    # per-rare-shingle member lists (bounded ≤ max_shingle_df by the df
+    # filter): one groupBy reusing the semi-join's (term) clustering, then
+    # a narrow i<j pair explode — replaces the round-4/5 inverted-index
+    # SELF-JOIN, which recomputed and reshuffled the rare-term table on
+    # both sides (guide §2.4).
+    rmembers = (terms.join(dfc.where(F.col("__df") <= max_shingle_df)
+                           .select("term"), "term", "left_semi")
+                .groupBy("term")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                .where(F.size("ds") >= 2))
+    # one pair row per shared rare shingle → count = |A∩B restricted to
+    # rare|, exactly what the round-4 self-join's groupBy yielded. (A
+    # round-6 experiment replacing this tail with the collected-set verify
+    # REGRESSED 1.6x at sf0.1: the candidate-pair table is the widest
+    # thing in the operator (~1.1M rows at 5k docs) and the set verify
+    # ships two full shingle arrays per pair through its joins; the rare
+    # count rides the candidate shuffle for free and the capped join below
+    # touches only df>cap shingles — near-empty on clean corpora.)
+    pairs = (rmembers.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .groupBy("a", "b").agg(F.count("*").alias("__i_rare"))
              .cache())
-    pairs.count()  # feeds the capped join and the final select
     # capped shingles shared by a candidate pair: the only part of the
-    # intersection the candidate join can't see
+    # intersection the candidate explode can't see
     cterms = terms.join(dfc.where(F.col("__df") > max_shingle_df)
                         .select("term"), "term", "left_semi")
     i_cap = (pairs.select("a", "b")
@@ -438,10 +472,12 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     """16-bit SimHash: bit i of a term = high bit of hex nibble i of its md5;
     per doc, bit i of the fingerprint = sign of Σ tf·(±1). → (doc_id, simhash).
     Portable across engines (md5-derived), tf-weighted like the classic
-    Charikar construction. Demo-width — ``simhash64`` is the scale form."""
-    tf = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(terms_col(F.col(text_col))).alias("term"))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    Charikar construction. Demo-width — ``simhash64`` is the scale form.
+    Like ``simhash64``, aggregates token instances directly (tf-weighting
+    is algebraically identical, one shuffle fewer)."""
+    tf = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(terms_col(F.col(text_col))).alias("term"),
+                     F.lit(1).alias("tf"))
     tf = tf.withColumn("h", F.md5("term"))
     bit_sums = [
         F.sum(F.when(F.substring("h", i + 1, 1)
@@ -464,14 +500,20 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     md5-derived hashes (``term_hash32`` offsets 1 and 9); per doc, bit i =
     sign of Σ tf·(bit_i(term) ? +1 : −1), the Charikar construction.
 
-    One md5 + two base-16 parses per (doc, term); the 64 bit-sums are one
-    hash aggregate with map-side combine — single shuffle on doc_id. The
-    whole 64-column pipeline is ONE spark.sql parse (DataFrame parameter):
+    Σ_t tf_t·(±1) over distinct terms equals Σ over raw token INSTANCES of
+    (±1 per bit of the instance's term hash), so the (doc, term) tf
+    pre-aggregation the earlier rounds paid (a full extra shuffle) is
+    algebraically redundant: the 64 bit-sums aggregate token instances
+    directly — ONE exchange on doc_id, map-side combined (round-6 guide
+    §2.4; result bit-identical, integer arithmetic). md5 now runs per
+    instance instead of per distinct (doc, term) — map-side CPU, cheaper
+    than the removed shuffle+aggregate at every measured size. The whole
+    64-column pipeline is ONE spark.sql parse (DataFrame parameter):
     building it from per-column Column ops / F.expr calls cost 2-3.5 s of
     pure driver time per query in py4j round-trips and SQL parses."""
-    tf = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(terms_col(F.col(text_col))).alias("term"))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    tf = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(terms_col(F.col(text_col))).alias("term"),
+                     F.lit(1).alias("tf"))
     bit_sums = ",\n".join(
         f"  sum(CASE WHEN (h_{half} >> {i}) & 1 = 1 THEN tf ELSE -tf END)"
         f" AS s_{half}_{i}"
@@ -545,6 +587,28 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
         w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
         bands = (bands.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") <= max_bucket).drop("__rn"))
+        # capped buckets: one groupBy (reusing the cap window's exchange —
+        # same keys, no new shuffle) collects the ≤cap members, a narrow
+        # explode emits the i<j pairs — replaces the self-join that
+        # recomputed + reshuffled the banded table twice (guide §2.4).
+        # array_sort on the structs orders by doc_id (unique in-bucket),
+        # so pairs are exactly the l.doc_id < r.doc_id join's.
+        members = (bands.groupBy("band_id", "band_val")
+                   .agg(F.array_sort(F.collect_list(F.struct(
+                       "doc_id", "sim_hi", "sim_lo"))).alias("ms"))
+                   .where(F.size("ms") >= 2))
+        pairs = (members.select(F.explode(F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x AS l, y AS r))))")).alias("p")))
+        ham = (F.bit_count(F.col("p.l.sim_hi").bitwiseXOR(F.col("p.r.sim_hi")))
+               + F.bit_count(F.col("p.l.sim_lo").bitwiseXOR(F.col("p.r.sim_lo"))))
+        return (pairs
+                .select(F.col("p.l.doc_id").alias("a"),
+                        F.col("p.r.doc_id").alias("b"),
+                        ham.cast("int").alias("hamming"))
+                .where(F.col("hamming") <= max_hamming)
+                .distinct())
     left = bands.alias("l")
     right = bands.alias("r")
     ham = (F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi")))

@@ -333,17 +333,32 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
         w = Window.partitionBy("band_id", "band_val").orderBy("vec_id")
         bands = (bands.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") <= max_bucket).drop("__rn"))
-    left = bands.alias("l")
-    right = bands.alias("r")
-    # candidate (a, b) ids only, DEDUPED before the expensive verify — a
-    # pair colliding in several bands would otherwise fold its vectors
-    # once per band
-    cands = (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
-                       & (F.col("l.band_val") == F.col("r.band_val"))
-                       & (F.col("l.vec_id") < F.col("r.vec_id")))
-             .select(F.col("l.vec_id").alias("a"),
-                     F.col("r.vec_id").alias("b"))
-             .distinct())
+        # capped buckets: collect the ≤cap member ids per bucket (the
+        # groupBy reuses the cap window's exchange — same keys, no new
+        # shuffle) and explode the i<j pairs — the round-1..5 self-join
+        # re-evaluated the 16-plane bucket projection AND the cap window
+        # on both sides plus two more exchanges (guide §2.4)
+        members = (bands.groupBy("band_id", "band_val")
+                   .agg(F.sort_array(F.collect_list("vec_id")).alias("ms"))
+                   .where(F.size("ms") >= 2))
+        cands = (members.select(F.explode(F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x AS a, y AS b))))")).alias("p"))
+                 .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .distinct())
+    else:
+        left = bands.alias("l")
+        right = bands.alias("r")
+        # candidate (a, b) ids only, DEDUPED before the expensive verify —
+        # a pair colliding in several bands would otherwise fold its
+        # vectors once per band
+        cands = (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
+                           & (F.col("l.band_val") == F.col("r.band_val"))
+                           & (F.col("l.vec_id") < F.col("r.vec_id")))
+                 .select(F.col("l.vec_id").alias("a"),
+                         F.col("r.vec_id").alias("b"))
+                 .distinct())
     cos = (_dot(F.col("__va"), F.col("__vb"))
            / (F.col("__na") * F.col("__nb")))
     return (cands

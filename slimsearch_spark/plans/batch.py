@@ -54,7 +54,9 @@ def score_many(spark,
                bm25: Mapping[str, float],
                combine_with: str,
                branch_counts: Mapping[int, int],
-               k: Optional[int] = None) -> DataFrame:
+               k: Optional[int] = None,
+               derived_terms: Optional[Sequence[str]] = None,
+               df_table: Optional[DataFrame] = None) -> DataFrame:
     """Score a batch of flat string queries in one plan.
 
     ``expansion``: DataFrame in BATCH_EXPANSION_SCHEMA (already broadcast
@@ -68,18 +70,29 @@ def score_many(spark,
     if op not in ("or", "and", "and_not"):
         raise ValueError(f"Invalid combination operator: {combine_with}")
 
-    m = (postings
-         .where(F.col("field_id").isin(list(searched_field_ids)))
-         .join(expansion, postings["term"] == F.col("derived_term"),
-               "inner"))
+    base = postings.where(F.col("field_id").isin(list(searched_field_ids)))
+    m = base.join(expansion, base["term"] == F.col("derived_term"),
+                  "inner")
 
-    # df per (query, branch, derived term, field): the count of live docs
-    # in the matched list — the reference's post-lazy-cleanup
-    # matchingFields df (src/results.ts:109-114). Keyed per query/branch:
-    # the same derived term in two queries (or two branches) must count
-    # its own df, exactly like N independent search_df plans would.
-    w = Window.partitionBy("query_id", "branch", "derived_term", "field_id")
-    m = m.withColumn("df", F.count("*").over(w).cast("double"))
+    # df per derived (term, field): the count of live docs in the matched
+    # list — the reference's post-lazy-cleanup matchingFields df
+    # (src/results.ts:109-114). df is a property of the live posting list
+    # itself, identical across queries/branches; when the caller knows the
+    # derived-term set driver-side it ships as a slim map-side-combined
+    # aggregation broadcast back onto the matched rows — the round-4/5
+    # window (partitioned per query/branch only to avoid double-counting
+    # joined copies) shuffled and sorted every matched posting row first
+    # (guide §2.3/§2.4). Wide expansions keep the window.
+    if df_table is None and derived_terms is not None:
+        df_table = (base.where(F.col("term").isin(sorted(set(derived_terms))))
+                    .groupBy("term", "field_id")
+                    .agg(F.count("*").cast("double").alias("df")))
+    if df_table is not None:
+        m = m.join(F.broadcast(df_table), ["term", "field_id"], "inner")
+    else:
+        w = Window.partitionBy("query_id", "branch", "derived_term",
+                               "field_id")
+        m = m.withColumn("df", F.count("*").over(w).cast("double"))
 
     m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
 

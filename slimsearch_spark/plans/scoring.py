@@ -84,24 +84,77 @@ def score_expansion(spark,
     joined per derived term when the column is present (callable parity
     path), per doc otherwise (Column fast path).
     """
+    m = _matched_scored(spark, postings, doc_stats, expansion_rows,
+                        searched_field_ids, field_boost_by_id,
+                        avg_field_length, doc_count, bm25, doc_boost_df)
+    if m is None:
+        return empty_result(spark)
+    return (m
+            .groupBy("branch", "doc_id")
+            .agg(F.sum("weighted").alias("score"),
+                 F.array_sort(F.collect_set(
+                     F.struct(F.col("branch"), F.col("rank"),
+                              F.col("derived_term").alias("term"),
+                              F.col("field_id")))).alias("match"),
+                 F.first("query_term").alias("qterm"))
+            .select("doc_id", "score",
+                    F.array("qterm").alias("qterms"), "match", "branch"))
+
+
+def _matched_scored(spark,
+                    postings: DataFrame,
+                    doc_stats: DataFrame,
+                    expansion_rows,
+                    searched_field_ids: Sequence[int],
+                    field_boost_by_id: Mapping[int, float],
+                    avg_field_length: Mapping[int, float],
+                    doc_count: int,
+                    bm25: Mapping[str, float],
+                    doc_boost_df: Optional[DataFrame] = None,
+                    df_table: Optional[DataFrame] = None
+                    ) -> Optional[DataFrame]:
+    """postings ⋈ expansion ⋈ doc_stats with the per-row ``weighted`` BM25
+    contribution — the shared join subtree of ``score_expansion`` and
+    ``score_and_combine``. Returns None for an empty expansion.
+
+    Document frequency (reference post-lazy-cleanup matchingFields, M7):
+    on the driver-rows expansion path it comes from ``df_table`` — the
+    engine's cached (term, field_id, df) dictionary probe (the inverted
+    index's dictionary doing its classic job; engine._df_table) — or,
+    when the caller has none (tombstoned index), from a slim map-side
+    -combined aggregation over the term-pruned live postings, broadcast
+    back onto the matched rows. The round-1..5 window
+    (``count(*) over (partition by branch, derived_term, field_id)``)
+    instead shuffled and sorted EVERY matched posting row by the window
+    key before the stats join — one full extra Exchange per query
+    (guide §2.3 "aggregate before you shuffle", §2.4). df values are
+    identical (exact integer counts of the same live rows). The wide
+    DataFrame-expansion path keeps the window: there the derived-term
+    set is unbounded, a broadcast hint would be wrong, and the window
+    costs one exchange either way."""
     if isinstance(expansion_rows, DataFrame):
         exp = expansion_rows
     else:
         if not expansion_rows:
-            return empty_result(spark)
+            return None
         exp = F.broadcast(spark.createDataFrame(expansion_rows,
                                                 EXPANSION_SCHEMA))
 
-    m = (postings
-         .where(F.col("field_id").isin(list(searched_field_ids)))
-         .join(exp, postings["term"] == F.col("derived_term"), "inner"))
+    base = postings.where(F.col("field_id").isin(list(searched_field_ids)))
+    m = base.join(exp, base["term"] == F.col("derived_term"), "inner")
 
-    # df per (derived term, field): count of live docs in the posting list —
-    # matches the reference's post-lazy-cleanup matchingFields (M7).
-    # Partitioned by branch too: the same derived term in two branches would
-    # otherwise double-count.
-    w = Window.partitionBy("branch", "derived_term", "field_id")
-    m = m.withColumn("df", F.count("*").over(w).cast("double"))
+    if isinstance(expansion_rows, DataFrame):
+        # wide expansion: df window partitioned by branch too — the same
+        # derived term in two branches would otherwise double-count
+        w = Window.partitionBy("branch", "derived_term", "field_id")
+        m = m.withColumn("df", F.count("*").over(w).cast("double"))
+    else:
+        if df_table is None:
+            derived = sorted({r[2] for r in expansion_rows})
+            df_table = (base.where(F.col("term").isin(derived))
+                        .groupBy("term", "field_id")
+                        .agg(F.count("*").cast("double").alias("df")))
+        m = m.join(F.broadcast(df_table), ["term", "field_id"], "inner")
 
     m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
 
@@ -127,18 +180,78 @@ def score_expansion(spark,
             m = m.join(doc_boost_df, "doc_id", "inner")
         weighted = weighted * F.col("doc_boost")
 
-    scored = m.withColumn("weighted", weighted)
+    return m.withColumn("weighted", weighted)
 
-    return (scored
-            .groupBy("branch", "doc_id")
-            .agg(F.sum("weighted").alias("score"),
-                 F.array_sort(F.collect_set(
-                     F.struct(F.col("branch"), F.col("rank"),
-                              F.col("derived_term").alias("term"),
-                              F.col("field_id")))).alias("match"),
-                 F.first("query_term").alias("qterm"))
-            .select("doc_id", "score",
-                    F.array("qterm").alias("qterms"), "match", "branch"))
+
+def score_and_combine(spark,
+                      postings: DataFrame,
+                      doc_stats: DataFrame,
+                      expansion_rows,
+                      searched_field_ids: Sequence[int],
+                      field_boost_by_id: Mapping[int, float],
+                      avg_field_length: Mapping[int, float],
+                      doc_count: int,
+                      bm25: Mapping[str, float],
+                      combine_with: str,
+                      branch_ids: Sequence[int],
+                      doc_boost_df: Optional[DataFrame] = None,
+                      df_table: Optional[DataFrame] = None) -> DataFrame:
+    """Score + combinator for ONE string query in a SINGLE aggregation.
+
+    Produces exactly ``combine_scored(score_expansion(...), branch_ids,
+    combine_with)`` — same rows, same qterms/match array ordering — but
+    folds the per-(branch, doc) aggregation and the per-doc combinator
+    into one groupBy(doc_id), removing a full Exchange + aggregate pass
+    from every flat search plan (guide §2.4; the proven shape of
+    plans/batch.py's fused combinator, which the bm25_topk_batch oracle
+    entry gates against bm25_topk):
+
+      OR      score = Σ weighted, qterms = matched query terms in branch
+              order, match = sorted distinct (branch, rank, term, field)
+      AND     same, kept iff count_distinct(branch) == len(branch_ids)
+      AND_NOT first branch's aggregates only (other branches' rows feed
+              the veto flag), dropped when any other branch matched
+    """
+    op = combine_with.lower()
+    if op not in ("or", "and", "and_not"):
+        raise ValueError(f"Invalid combination operator: {combine_with}")
+    m = _matched_scored(spark, postings, doc_stats, expansion_rows,
+                        searched_field_ids, field_boost_by_id,
+                        avg_field_length, doc_count, bm25, doc_boost_df,
+                        df_table)
+    if m is None:
+        return empty_result(spark)
+
+    if op == "and_not" and len(branch_ids) > 1:
+        keep = F.col("branch") == branch_ids[0]
+        agg = (m.groupBy("doc_id")
+               .agg(F.sum(F.when(keep, F.col("weighted"))).alias("score"),
+                    F.array_sort(F.collect_set(F.when(keep, F.struct(
+                        F.col("branch"), F.col("rank"),
+                        F.col("derived_term").alias("term"),
+                        F.col("field_id"))))).alias("match"),
+                    F.first(F.when(keep, F.col("query_term")),
+                            ignorenulls=True).alias("qterm"),
+                    F.max((~keep).cast("int")).alias("__veto")))
+        return (agg.where((F.col("__veto") == 0)
+                          & F.col("score").isNotNull())
+                .select("doc_id", "score",
+                        F.array("qterm").alias("qterms"), "match"))
+
+    agg = (m.groupBy("doc_id")
+           .agg(F.sum("weighted").alias("score"),
+                F.array_sort(F.collect_set(
+                    F.struct(F.col("branch"), F.col("rank"),
+                             F.col("derived_term").alias("term"),
+                             F.col("field_id")))).alias("match"),
+                F.array_distinct(F.transform(
+                    F.array_sort(F.collect_set(
+                        F.struct(F.col("branch"), F.col("query_term")))),
+                    lambda s: s["query_term"])).alias("qterms"),
+                F.count_distinct("branch").alias("__n")))
+    if op == "and":
+        agg = agg.where(F.col("__n") == len(branch_ids))
+    return agg.select("doc_id", "score", "qterms", "match")
 
 
 def combine_scored(scored: DataFrame, branch_ids: Sequence[int],

@@ -674,7 +674,8 @@ def wand_topk(posting_lists: DataFrame,
               expansion_df: Optional[DataFrame] = None,
               branch_ids: Optional[Sequence[int]] = None,
               n_query_terms: Optional[int] = None,
-              metrics: Optional[dict] = None) -> DataFrame:
+              metrics: Optional[dict] = None,
+              theta0_min_docs: Optional[int] = None) -> DataFrame:
     """Top-k BM25 query over compacted posting lists with block-max
     pruning. ``expansion_rows``: (branch, query_term, derived_term, rank,
     weight, term_boost) as produced by the engine's expansion planner.
@@ -815,14 +816,22 @@ def wand_topk(posting_lists: DataFrame,
         metrics["route_sec"] = acc_route_sec
         metrics["theta0_sec"] = acc_theta0_sec
 
+    if theta0_min_docs is None:
+        from ..config import DEFAULT_WAND_THETA0_MIN_DOCS
+        theta0_min_docs = DEFAULT_WAND_THETA0_MIN_DOCS
     theta0 = 0.0
-    if combine_with == "or":
+    if combine_with == "or" and (metrics is not None
+                                 or doc_count >= theta0_min_docs):
         # global-θ pre-pass: exact partials from each term's top-impact
         # blocks; the k-th largest seeds every shard's threshold. matched is
         # re-read by the main pass — it is the term-pruned scan (a few
         # lists), not cached, to avoid leaking per-query cache entries.
         # AND has no pre-pass: a partial of a doc that fails the conjunction
         # bounds nothing (its final score is "absent", not Σ partials).
+        # Below ``theta0_min_docs`` the pre-pass ACTION costs more than it
+        # prunes and θ0 stays 0 (identical top-k — θ only skips provably
+        # sub-threshold blocks); metrics probes always run it (round 6,
+        # config.DEFAULT_WAND_THETA0_MIN_DOCS).
         top = (matched
                .mapInPandas(_theta0_stage(exp_by_term, doc_count,
                                           avg_by_fid, fboost,

@@ -230,3 +230,22 @@ def test_get_default_value_reference_surface():
     assert get_default_value("storeFields") == []
     assert get_default_value("autoVacuum") is True
     assert get_default_value("fields") is None
+
+
+def test_add_all_empty_batch_noop(spark, corpus):
+    """Round-6 latent-bug regression: add_all of an EMPTY batch carrying a
+    doc_id column aggregated min/max to NULL and raised TypeError on the
+    int() cast. An empty batch must be a no-op: ids, doc_count, stats and
+    search results all unchanged."""
+    idx = _build(corpus)
+    before = [(r["id"], round(r["score"], 9)) for r in
+              idx.search("the", top_k=5)]
+    next_id, doc_count = idx.next_id, idx.doc_count
+    idx.add_all(corpus.limit(0)
+                .withColumn("doc_id", F.lit(0).cast("long")))  # empty,
+    # WITH a doc_id column — the caller-provided-ids path
+    assert idx.next_id == next_id
+    assert idx.doc_count == doc_count
+    after = [(r["id"], round(r["score"], 9)) for r in
+             idx.search("the", top_k=5)]
+    assert before == after

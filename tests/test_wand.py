@@ -99,8 +99,12 @@ def _full_topk(index, query, k, **opts):
 def _wand_topk(index, query, k, **kw):
     # adaptive_min_docs=0: these tests exercise the real pruned path at
     # sizes where the production default would (correctly) skip to the
-    # exact plan — the skip itself is covered by test_wand_adaptive_skip
+    # exact plan — the skip itself is covered by test_wand_adaptive_skip.
+    # theta0_min_docs=0 likewise pins the OR global-θ pre-pass on (the
+    # round-6 production default skips it below 100k docs; θ0=0 is
+    # result-identical, but these tests must cover the seeded path).
     kw.setdefault("adaptive_min_docs", 0)
+    kw.setdefault("theta0_min_docs", 0)
     return [(r["doc_id"], round(r["score"], 9)) for r in
             index.search_topk_wand(query, k, **kw).collect()]
 
@@ -113,6 +117,21 @@ def test_wand_adaptive_skip(index):
     assert got == _full_topk(index, "varint delta merge", 10)
     forced = _wand_topk(index, "varint delta merge", 10)
     assert got == forced
+
+
+def test_wand_theta0_skip_result_identical(index):
+    """Round 6: below theta0_min_docs the OR path skips the global-θ
+    pre-pass ACTION (θ0 stays 0 — strictly less pruning, never different
+    results). The skipped and the seeded plan must return the identical
+    top-k, and both must equal the exact plan."""
+    q = "varint delta merge"
+    skipped = [(r["doc_id"], round(r["score"], 9)) for r in
+               index.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                      theta0_min_docs=10**9).collect()]
+    seeded = [(r["doc_id"], round(r["score"], 9)) for r in
+              index.search_topk_wand(q, 10, adaptive_min_docs=0,
+                                     theta0_min_docs=0).collect()]
+    assert skipped == seeded == _full_topk(index, q, 10)
 
 
 def test_wand_equals_full_sort_prefix(index):
