@@ -77,11 +77,20 @@ def prepare_training_corpus(docs: DataFrame,
     12 parquet scans of the corpus and 63 replicated copies of the PII
     scrub's regexp chain without the persist, i.e. ~10 redundant passes
     over corpus text per action at 100 TB. MEMORY_AND_DISK keeps the
-    gated (smallest-so-far) form; partitions spill rather than OOM. The
-    cache lives until the session drops the returned plan (Spark's
-    ContextCleaner) or the caller clears it; pass False to keep the
-    plan fully lazy (e.g. when the caller persists a checkpoint of its
-    own or the corpus is tiny)."""
+    gated (smallest-so-far) form; partitions spill rather than OOM.
+
+    Cache lifetime (round-6 ADVICE): Spark's SQL CacheManager holds a
+    persisted DataFrame's blocks until an EXPLICIT unpersist or
+    ``spark.catalog.clearCache()`` — dropping the returned plan does NOT
+    release them (ContextCleaner only collects RDD/broadcast state), so
+    repeated calls in a long-lived session pin one gated-corpus cache
+    each. The persisted intermediate is therefore exposed: call
+    ``release_gated_corpus(returned_df)`` (or unpersist the DataFrame in
+    the returned frame's ``_gated_cache`` attribute) after the consuming
+    action. Pass ``persist_gated=False`` to keep the plan fully lazy
+    (e.g. when the caller persists a checkpoint of its own or the corpus
+    is tiny) — rows are identical either way (gated by
+    tests/test_pipeline.py)."""
     if scrub_pii:
         docs = pii_scrub(docs, text_col)
         if benchmark is not None:
@@ -101,8 +110,9 @@ def prepare_training_corpus(docs: DataFrame,
                       & (F.col("ttr") > min_ttr))
                .select(F.col("doc_id").alias(id_col), "n_tokens"))
     docs = docs.join(quality, id_col)
+    gated = None
     if persist_gated:
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        docs = gated = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     docs = drop_near_duplicates(docs, text_col, id_col, **dedup_kwargs)
 
@@ -113,4 +123,20 @@ def prepare_training_corpus(docs: DataFrame,
         docs = pack_token_budget(docs, shard_budget, "n_tokens", id_col,
                                  n_buckets=n_buckets, seed=seed,
                                  method=hash_method)
+    if gated is not None:
+        # release handle for the pinned intermediate (see docstring) —
+        # an attribute, not a new return type, so callers that don't
+        # care keep their signature
+        docs._gated_cache = gated
     return docs
+
+
+def release_gated_corpus(df: DataFrame) -> None:
+    """Unpersist the gated-corpus intermediate ``prepare_training_corpus``
+    pinned for its dedup fan-out (round-6 ADVICE: CacheManager holds it
+    for the session otherwise). Safe after the caller's consuming action;
+    a later re-evaluation of the returned plan just recomputes. No-op for
+    frames built with ``persist_gated=False``."""
+    gated = getattr(df, "_gated_cache", None)
+    if gated is not None:
+        gated.unpersist()

@@ -73,12 +73,35 @@ def test_pipeline_contaminated_docs_removed(spark):
     assert {r["doc_id"] for r in out.collect()} == {2}
 
 
-def test_pipeline_minimal_options_is_lazy_single_plan(raw_docs):
+def test_pipeline_minimal_options_single_plan(raw_docs):
     # no benchmark / sampling / packing: scrub + quality + dedup only
+    # (the default plan persists the gated intermediate — see the
+    # persist_gated parity test for the fully-lazy form)
     out = prepare_training_corpus(raw_docs, threshold=0.5, k=8,
                                   rows_per_band=2)
     assert out.count() > 0
     assert "shard_id" not in out.columns
+
+
+def test_pipeline_persist_gated_false_same_rows(raw_docs):
+    """persist_gated only changes materialization, never rows: the lazy
+    form must match the default persisted form row-for-row, and the
+    release helper must drop the pinned cache (round-6 ADVICE)."""
+    from slimsearch_spark.pipeline import release_gated_corpus
+    kw = dict(threshold=0.5, k=8, rows_per_band=2,
+              sample_fraction=0.9, shard_budget=500, hash_method="md5",
+              n_buckets=1)
+    persisted = prepare_training_corpus(raw_docs, **kw)
+    lazy = prepare_training_corpus(raw_docs, persist_gated=False, **kw)
+    rows_p = sorted(map(tuple, persisted.collect()))
+    rows_l = sorted(map(tuple, lazy.collect()))
+    assert rows_p == rows_l and rows_p
+    gated = persisted._gated_cache
+    assert gated.storageLevel.useMemory          # pinned by default
+    release_gated_corpus(persisted)
+    assert not gated.storageLevel.useMemory      # released
+    assert not hasattr(lazy, "_gated_cache")     # lazy form pins nothing
+    release_gated_corpus(lazy)                   # no-op, must not raise
 
 
 def test_pipeline_benchmark_scrubbed_before_decontam(spark):
