@@ -37,7 +37,8 @@ from .config import (AND, AND_NOT, DEFAULT_AUTO_VACUUM, DEFAULT_BM25,
                      OR, WILDCARD, IndexConfig)
 from .functions.tokenize import tokenize_py
 from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
-                              build_term_dict, corpus_stats, tokenize_fields)
+                              build_term_dict, corpus_stats,
+                              corpus_stats_filling, tokenize_fields)
 from .oracle import js_round
 from .plans.scoring import (EXPANSION_SCHEMA, combine_results,
                             empty_result, score_and_combine)
@@ -128,8 +129,10 @@ class SparkSearchIndex:
         if cache:
             postings = postings.cache()
             doc_stats = doc_stats.cache()
-            postings.count()                   # fills both caches from the
-            avg_len, fcounts = corpus_stats(doc_stats)  # one tokenized pass
+            # ONE action fills both caches from the persisted tokenized
+            # corpus and collects the stats (round 6 — was a separate
+            # postings.count() fill job first)
+            avg_len, fcounts = corpus_stats_filling(postings, doc_stats)
             tokenized.unpersist()
         else:
             avg_len, fcounts = corpus_stats(doc_stats)
@@ -352,6 +355,11 @@ class SparkSearchIndex:
             return None
         if getattr(self, "_term_dict", None) is None:
             self.term_dictionary(field_ids)
+        if "df" not in self._term_dict.columns:
+            # a dictionary restored from a saved layout predating the df
+            # column (or installed by a loader) — scoring falls back to
+            # the per-query live aggregation
+            return None
         return (self._term_dict
                 .where(F.col("term").isin(sorted(set(derived_terms)))
                        & F.col("field_id").isin(list(field_ids)))
@@ -1725,14 +1733,24 @@ class SparkSearchIndex:
             if getattr(self, "_term_dict", None) is not None:
                 # dictionary-sized re-aggregation, not a postings rescan:
                 # the dictionary carries df (round 6), so the batch's own
-                # per-(term, field) counts fold in by sum
+                # per-(term, field) counts fold in by sum. A dictionary
+                # restored from a saved layout has no df column — keep
+                # its old union+distinct maintenance (scoring falls back
+                # to the live df aggregation for it anyway).
                 old_td = self._term_dict
-                td = (old_td
-                      .unionByName(
-                          new_postings.groupBy("term", "field_id")
-                          .agg(F.count("*").cast("int").alias("df")))
-                      .groupBy("term", "field_id")
-                      .agg(F.sum("df").cast("int").alias("df")).cache())
+                if "df" in old_td.columns:
+                    td = (old_td
+                          .unionByName(
+                              new_postings.groupBy("term", "field_id")
+                              .agg(F.count("*").cast("int").alias("df")))
+                          .groupBy("term", "field_id")
+                          .agg(F.sum("df").cast("int").alias("df")).cache())
+                else:
+                    td = (old_td
+                          .unionByName(new_postings
+                                       .select("term", "field_id")
+                                       .distinct())
+                          .distinct().cache())
                 td.count()
                 try:
                     old_td.unpersist()
@@ -1829,14 +1847,23 @@ class SparkSearchIndex:
         if getattr(self, "_posting_lists", None) is not None and n_new:
             self._append_segment(new_postings, new_stats)
             if getattr(self, "_term_dict", None) is not None:
-                # df-carrying dictionary: fold the absorbed shard's counts
+                # df-carrying dictionary: fold the absorbed shard's
+                # counts; a loaded df-less dictionary keeps the old
+                # union+distinct (see add_all)
                 old_td = self._term_dict
-                td = (old_td
-                      .unionByName(
-                          new_postings.groupBy("term", "field_id")
-                          .agg(F.count("*").cast("int").alias("df")))
-                      .groupBy("term", "field_id")
-                      .agg(F.sum("df").cast("int").alias("df")).cache())
+                if "df" in old_td.columns:
+                    td = (old_td
+                          .unionByName(
+                              new_postings.groupBy("term", "field_id")
+                              .agg(F.count("*").cast("int").alias("df")))
+                          .groupBy("term", "field_id")
+                          .agg(F.sum("df").cast("int").alias("df")).cache())
+                else:
+                    td = (old_td
+                          .unionByName(new_postings
+                                       .select("term", "field_id")
+                                       .distinct())
+                          .distinct().cache())
                 td.count()
                 try:
                     old_td.unpersist()

@@ -175,6 +175,30 @@ def build_doc_stats(tokenized: DataFrame) -> DataFrame:
     return tokenized.select("doc_id", "field_id", "field_len")
 
 
+def corpus_stats_filling(postings: DataFrame,
+                         doc_stats: DataFrame
+                         ) -> Tuple[Dict[int, float], Dict[int, int]]:
+    """Per-field stats collected in ONE action that also references the
+    postings cache: with AQE, each cached relation in the plan gets its
+    own TableCacheQueryStage, so this single job materializes BOTH the
+    postings and doc_stats caches from the persisted tokenized corpus
+    AND returns the stats — replacing the separate ``postings.count()``
+    fill action the round-1..5 build paid first (round 6, guide §1.2:
+    don't compute things you throw away — the count's only purpose was
+    the cache side effect). The sentinel field_id -1 row carries the
+    postings probe and is dropped."""
+    stats = (doc_stats.groupBy("field_id")
+             .agg(F.avg("field_len").alias("avg_len"),
+                  F.count("*").alias("n")))
+    probe = (postings.agg(F.count("*").alias("n"))
+             .select(F.lit(-1).alias("field_id"),
+                     F.lit(0.0).alias("avg_len"), "n"))
+    rows = [r for r in stats.unionByName(probe).collect()
+            if r["field_id"] != -1]
+    return ({r["field_id"]: float(r["avg_len"]) for r in rows},
+            {r["field_id"]: int(r["n"]) for r in rows})
+
+
 def corpus_stats(doc_stats: DataFrame) -> Tuple[Dict[int, float], Dict[int, int]]:
     """Per-field average field length + doc-with-field counts (tiny collect).
 

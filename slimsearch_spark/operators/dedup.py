@@ -763,11 +763,16 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     Docs outside any near-dup component never enter the iteration; they
     get their rep's id through the same final join. At 10⁹ docs the
     iterated vertex set is just the docs with near-dup candidates."""
+    # cached (lazily — the consuming action fills it in-plan, house
+    # style): referenced THREE times below (both qpair endpoint joins +
+    # the final label join), each of which would otherwise re-scan the
+    # corpus and re-run the md5 window (round 6). Skinny: two longs/doc.
     rep_map = (docs.select(F.md5(F.col(text_col)).alias("__m"),
                            F.col(id_col).alias("u"))
                .withColumn("rep", F.min("u").over(
                    Window.partitionBy("__m")))
-               .select("u", "rep"))
+               .select("u", "rep")
+               .cache())
     if pairs is None:
         pairs = near_dup_pairs(docs, text_col, id_col, **near_dup_kwargs)
     qpairs = (pairs

@@ -82,8 +82,14 @@ def test_save_load_roundtrip(spark, corpus, tmp_path):
     q = "parse tokenizer"
     a = idx.search(q, prefix=True, fuzzy=0.2)
     b = loaded.search(q, prefix=True, fuzzy=0.2)
-    assert [(r["id"], r["score"]) for r in a] == \
-        [(r["id"], r["score"]) for r in b]
+    # round(9): the repo's score-equality convention (test_wand, the
+    # unpersist test below). Exact float equality across DIFFERENT
+    # physical layouts (cached build vs parquet load) was only ever
+    # incidental — double sums merge in partition order, and the round-6
+    # df fast path (cached dictionary live, per-query aggregation on a
+    # loaded dict without df) legitimately shifts the last ulp.
+    assert [(r["id"], round(r["score"], 9)) for r in a] == \
+        [(r["id"], round(r["score"], 9)) for r in b]
     # version gate (reference: loadJSONIndex version check)
     m = json.load(open(f"{path}/manifest.json"))
     m["version"] = 1

@@ -42,12 +42,17 @@ def test_no_sort_merge_join_in_search(index):
 
 
 def test_single_scoring_subtree(index):
-    """One Window (df) and one expansion join per string query — the
-    per-branch filter+union regression would show N of each."""
+    """ONE expansion join per string query — the per-branch filter+union
+    regression would show N copies of the postings⋈expansion subtree.
+    Round 6 also removed the df window (`count(1) over (branch,
+    derived_term, field_id)`) in favor of a broadcast (term, field_id,
+    df) dictionary probe: its reappearance would mean every matched
+    posting row is being shuffled+sorted by the window key again."""
     p = plan_of(index.search_df("varint merge delta", top_k=10))
-    # the df window is `count(1) over (branch, derived_term, field_id)`;
-    # row_number windows in the cached build lineage don't count
-    assert p.count("Window [count(1)") == 1
+    njoin = sum(1 for ln in p.splitlines()
+                if "Join" in ln and "derived_term#" in ln)
+    assert njoin == 1                        # one expansion join
+    assert p.count("Window [count(1)") == 0  # df window stays gone
 
 
 def test_wide_expansion_no_single_partition_exchange(index):
