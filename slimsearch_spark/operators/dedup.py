@@ -98,6 +98,31 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                     F.explode(F.array_distinct("__sh")).alias("term")))
 
 
+def doc_shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ts, sz): the distinct n-gram shingle set per doc kept as
+    an ARRAY column (plus its size), i.e. ``doc_shingles`` before the
+    explode. Keeping the set in-row lets MinHash signatures and the
+    exact-Jaccard verify run as NARROW per-row expressions — no
+    explode → groupBy(doc_id) round trip, which at scale is a full
+    shuffle of every (doc, term) row (guide §2.2). Rows with empty
+    shingle sets are dropped, exactly matching the exploded form (a doc
+    with no shingles contributes no rows there either).
+
+    Per-row memory is O(one doc's shingle set) — the same bound the
+    collected-set verify already documents; callers needing the
+    streaming exploded form pass ``collect_verify=False`` to the
+    near-dup operators."""
+    from pyspark.ml.feature import NGram
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          terms_col(F.col(text_col)).alias("__toks"))
+    ng = NGram(n=n, inputCol="__toks", outputCol="__sh")
+    return (ng.transform(toks_df)
+            .select("doc_id", F.array_distinct("__sh").alias("ts"))
+            .withColumn("sz", F.size("ts"))
+            .where(F.col("sz") > 0))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """→ (text_md5, keep_doc_id, n_dups): one winner (min id) per distinct
@@ -124,6 +149,34 @@ def minhash_signatures(term_sets: DataFrame, k: int = 8) -> DataFrame:
             .alias(f"sig_{j}")
             for j, (a, b) in enumerate(MINHASH_PARAMS[:k])]
     return term_sets.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_arr(shingle_sets: DataFrame, k: int = 8) -> DataFrame:
+    """→ (doc_id, sig_0..sig_{k-1}) from ``doc_shingle_sets`` rows: the
+    same numeric MinHash as ``minhash_signatures`` computed NARROWLY —
+    per-row ``array_min`` over the hashed shingle array instead of an
+    explode → groupBy(doc_id) aggregation, so signature computation costs
+    ZERO exchanges (round 6; guide §2.2 — the removed shuffle carried
+    every (doc, term) row). The md5-derived 32-bit hash is materialized
+    once per element in its own projection (``__hs``) so the k universal-
+    hash mins reuse it instead of re-hashing per permutation; Catalyst
+    keeps the projection separate (CollapseProject does not duplicate
+    non-cheap expressions). min over array elements == min over group
+    rows — bit-identical signatures, same MINHASH_PARAMS."""
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(f"k > {len(MINHASH_PARAMS)} needs more "
+                         "MINHASH_PARAMS entries")
+    hs = F.transform(
+        F.col("ts"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("__hs"),
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)))
+        .alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS[:k])]
+    return (shingle_sets.withColumn("__hs", hs)
+            .select("doc_id", *sig_cols))
 
 
 def _lsh_bands(sigs: DataFrame, k: int, rows_per_band: int,
@@ -294,24 +347,19 @@ def _verify_jaccard(cands: DataFrame, terms: DataFrame,
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def _verify_jaccard_sets(cands: DataFrame, terms: DataFrame,
-                         threshold: float) -> DataFrame:
-    """Exact-Jaccard verification via per-doc collected shingle sets: one
-    aggregation over the candidate-pruned term sets, two joins onto the
-    pairs, ``array_intersect`` locally per pair. Same formula and rounding
-    as ``_verify_jaccard``, two fewer shuffles (no composite-key
-    intersection join, sizes ride the same agg).
-
-    Memory bound: one row holds one candidate doc's whole shingle set, so
-    per-row memory is O(longest candidate document). For corpora with
-    multi-hundred-MB single documents pass ``collect_verify=False`` to the
-    calling operator and take the streaming composite-key join instead."""
-    cand_docs = (cands.select(F.explode(F.array("a", "b")).alias("doc_id"))
-                 .distinct())  # one scan of cands, not a two-branch union
-    csets = (terms.join(cand_docs, "doc_id", "left_semi")
-             .groupBy("doc_id")
-             .agg(F.collect_set("term").alias("ts"),
-                  F.count("*").alias("sz")))
+def _verify_jaccard_arrays(cands: DataFrame, shingle_sets: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Exact-Jaccard verification from in-row shingle ARRAYS: the sets
+    already exist per doc (``doc_shingle_sets``), so verification is a
+    semi-join prune to candidate docs plus two equi-joins onto the pairs
+    and a per-row ``array_intersect`` — no collect_set aggregation
+    exchange (the sets never left their rows). Same formula and rounding
+    as ``_verify_jaccard`` / ``_verify_jaccard_sets``. The semi-join keeps
+    the 100 TB shape: only colliding docs' arrays ever ship to the pair
+    join. cand_docs is NOT distinct-ed — a left_semi probe side tolerates
+    duplicate keys and the distinct would cost one more exchange."""
+    cand_docs = cands.select(F.explode(F.array("a", "b")).alias("doc_id"))
+    csets = shingle_sets.join(cand_docs, "doc_id", "left_semi")
     return (cands
             .join(csets.select(F.col("doc_id").alias("a"),
                                F.col("ts").alias("ts_a"),
@@ -347,11 +395,16 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
     full-row shuffle (``_collapse_exact_dups_spread``) instead of a
     repartition followed by a collapse — round-4 VERDICT next-round #5.
 
-    ``collect_verify`` picks the set-collect verify (default; fewer
-    shuffles) vs the composite-key streaming join — see
-    ``_verify_jaccard_sets`` for the per-row memory bound that motivates
-    the escape hatch. Caches are left lazy: the single action that
-    consumes the returned frame fills them in-plan, avoiding two extra
+    ``collect_verify`` (default) keeps whole shingle sets in-row: ONE
+    cached (doc_id, ts, sz) table feeds narrow per-row MinHash signatures
+    (``minhash_signatures_arr`` — zero exchanges) and the array-intersect
+    verify, so the operator's only exchanges are the exact-dup collapse,
+    the band cap window and the pair distinct (round 6). Per-row memory
+    is O(one doc's shingle set) — for corpora with multi-hundred-MB
+    single documents pass ``collect_verify=False`` for the fully
+    streaming exploded form (explode → groupBy signatures, composite-key
+    verify join). Caches are left lazy: the single action that consumes
+    the returned frame fills them in-plan, avoiding extra
     materialization jobs."""
     if dedup_exact_first:
         if num_partitions is None and _input_is_narrow(docs):
@@ -361,17 +414,19 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text",
             docs = _collapse_exact_dups(docs, text_col, id_col)
     else:
         docs = _spread_narrow_input(docs, num_partitions)
+    if collect_verify:
+        sets = doc_shingle_sets(docs, shingle_n, text_col, id_col).cache()
+        sigs = minhash_signatures_arr(sets, k)
+        cands = (lsh_candidate_pairs(sigs, k, rows_per_band, max_bucket)
+                 .cache())
+        return _verify_jaccard_arrays(cands, sets, threshold)
     terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
-    # cache the per-doc signatures: the LSH self-join references them on
-    # both sides and would otherwise run the MinHash aggregation twice
-    # (caching the post-window banded table instead was measured SLOWER
-    # at sf0.1 — the wide string-keyed cache write costs more than the
-    # second window over the small cached sigs)
+    # cache the per-doc signatures: referenced by every band branch of
+    # the melt and the aggregation must not re-run per reference
     sigs = minhash_signatures(terms, k).cache()
     cands = (lsh_candidate_pairs(sigs, k, rows_per_band, max_bucket)
              .cache())
-    verify = _verify_jaccard_sets if collect_verify else _verify_jaccard
-    return verify(cands, terms, threshold)
+    return _verify_jaccard(cands, terms, threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -411,11 +466,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         docs = _spread_narrow_input(docs, num_partitions)
         if dedup_exact_first:
             docs = _collapse_exact_dups(docs, text_col, id_col)
-    terms = doc_shingles(docs, shingle_n, text_col, id_col).cache()
-    # inverted-index candidates: rare shingles only. Caches stay LAZY —
-    # AQE's TableCacheQueryStage materializes a shared InMemoryRelation
-    # once per action, so the round-4 eager count() jobs (2 extra full
-    # actions) bought nothing (round-6 measurement: same plan, fewer jobs).
+    # ONE cached table: the in-row shingle sets. The inverted index
+    # (dfc / rmembers / cterms) explodes them on demand — a narrow
+    # re-read of the cache — while doc sizes come straight off the
+    # array (F.size), dropping the groupBy(doc_id) sizes exchange the
+    # exploded-cache form paid (round 6). Caches stay LAZY — AQE's
+    # TableCacheQueryStage materializes a shared InMemoryRelation once
+    # per action, so eager count() jobs bought nothing.
+    sets = doc_shingle_sets(docs, shingle_n, text_col, id_col).cache()
+    terms = sets.select("doc_id", F.explode("ts").alias("term"))
     dfc = terms.groupBy("term").agg(F.count("*").alias("__df"))
     # per-rare-shingle member lists (bounded ≤ max_shingle_df by the df
     # filter): one groupBy reusing the semi-join's (term) clustering, then
@@ -451,7 +510,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
              .join(cterms.select(F.col("doc_id").alias("b"), "term"),
                    ["b", "term"])
              .groupBy("a", "b").agg(F.count("*").alias("__i_cap")))
-    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("__sz"))
+    sizes = sets.select("doc_id", F.col("sz").alias("__sz"))
     return (pairs
             .join(i_cap, ["a", "b"], "left")
             .fillna(0, ["__i_cap"])
@@ -559,9 +618,12 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
     same ``max_bucket`` truncation for boilerplate clusters."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    # cache the tiny per-doc fingerprint table: the band melt + self-join
-    # reference it repeatedly and must not re-run the 64-bit aggregation
-    sims = simhash64(docs, text_col, id_col).cache()
+    sims = simhash64(docs, text_col, id_col)
+    if not max_bucket:
+        # only the uncapped SELF-JOIN references the fingerprint table
+        # twice; the capped collect+explode path is a single chain, where
+        # a cache write would be pure cost (round 6)
+        sims = sims.cache()
 
     def band_expr(offset: int):
         """Bits [offset, offset+width) of the 64-bit hash, read from the
