@@ -339,9 +339,15 @@ class SparkSearchIndex:
                                .groupBy("term", "field_id")
                                .agg(F.count("*").cast("int").alias("df"))
                                .cache())
-        return (self._term_dict
-                .where(F.col("field_id").isin(list(field_ids)))
-                .select("term").distinct())
+        sliced = self._term_dict.where(
+            F.col("field_id").isin(list(field_ids)))
+        if len(set(field_ids)) == 1:
+            # (term, field_id) is the dictionary's grouping key, so a
+            # single-field slice is already term-distinct — skip the
+            # distinct's exchange (round 6; it showed up as two extra
+            # stages in every expansion probe on one-field indexes)
+            return sliced.select("term")
+        return sliced.select("term").distinct()
 
     def _df_table(self, derived_terms: Sequence[str],
                   field_ids: Sequence[int]) -> Optional[DataFrame]:
@@ -745,18 +751,29 @@ class SparkSearchIndex:
             self.doc_count, bm25, opts.get("combineWith", OR),
             [s["branch"] for s in specs], doc_boost_df, df_table)
 
+    def _search_hits_df(self, query, options: dict,
+                        with_docs: bool = True) -> DataFrame:
+        """Unsorted quality-multiplied hits — the shared subplan of
+        ``search_df`` and ``auto_suggest_df``. ``with_docs=False`` skips
+        the stored-fields row-store join for consumers that only read
+        (score, qterms, match) — autosuggest's phrase aggregation —
+        saving that join's exchange/broadcast stage (round 6)."""
+        raw = self._execute_query(query, options)
+        quality = F.when(F.size("qterms") > 0, F.size("qterms")).otherwise(1)
+        out = raw.withColumn("score", F.col("score") * quality)
+        if with_docs:
+            out = out.join(self.docs.drop("doc_bucket"), "doc_id", "inner")
+            flt = options.get("filter")
+            if flt is not None and not callable(flt):
+                # Column expression / SQL string fast path
+                out = out.where(flt)
+        return out
+
     def search_df(self, query, **options) -> DataFrame:
         """Distributed search plan → DataFrame(doc_id, <ext id>, score,
         qterms, match, <stored...>), quality-multiplied, sorted desc
         (top-k via ``top_k`` option → TakeOrderedAndProject)."""
-        raw = self._execute_query(query, options)
-        quality = F.when(F.size("qterms") > 0, F.size("qterms")).otherwise(1)
-        out = (raw
-               .withColumn("score", F.col("score") * quality)
-               .join(self.docs.drop("doc_bucket"), "doc_id", "inner"))
-        flt = options.get("filter")
-        if flt is not None and not callable(flt):
-            out = out.where(flt)  # Column expression / SQL string fast path
+        out = self._search_hits_df(query, options)
         if query is WILDCARD and options.get("boostDocument") is None:
             # all scores are 1 — skip the score sort; insertion (doc_id)
             # order matches the reference (src/search.ts:202-204)
@@ -1271,7 +1288,12 @@ class SparkSearchIndex:
         opts = {"combineWith": AND,
                 "prefix": lambda term, i, terms: i == len(terms) - 1,
                 **self._auto_suggest_options, **options}
-        hits = self.search_df(query, **opts)
+        # unsorted hits: the phrase groupBy is order-insensitive, so
+        # search_df's global orderBy would be a wasted Exchange + Sort;
+        # the row-store join only matters when a stored-field filter is
+        # set (round 6 — two fewer stages per suggest query)
+        hits = self._search_hits_df(query, opts,
+                                    with_docs=opts.get("filter") is not None)
         # match is array_sort'ed by (branch, rank, field_id); first-occurrence
         # dedup of derived terms reproduces the reference's insertion order
         phrase = F.array_join(

@@ -126,10 +126,15 @@ def score_many(spark,
                .where((F.col("__has_neg") == 0)
                       & F.col("raw_score").isNotNull()))
     else:
-        agg = (m.groupBy("query_id", "doc_id")
-               .agg(F.sum("weighted").alias("raw_score"),
-                    F.count_distinct("branch").alias("__nb"),
-                    F.size(F.collect_set("query_term")).alias("__quality")))
+        # size(collect_set) not count_distinct: a distinct aggregate
+        # alongside the other aggs plans as Expand + two aggregation
+        # exchanges; collect_set rides the ObjectHashAggregate the
+        # __quality set already pays (round 6). OR discards the count.
+        aggs = [F.sum("weighted").alias("raw_score"),
+                F.size(F.collect_set("query_term")).alias("__quality")]
+        if op == "and":
+            aggs.append(F.size(F.collect_set("branch")).alias("__nb"))
+        agg = m.groupBy("query_id", "doc_id").agg(*aggs)
         if op == "and":
             need = F.create_map(*[F.lit(x) for qi, n in branch_counts.items()
                                   for x in (qi, n)])

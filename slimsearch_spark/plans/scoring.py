@@ -238,17 +238,23 @@ def score_and_combine(spark,
                 .select("doc_id", "score",
                         F.array("qterm").alias("qterms"), "match"))
 
-    agg = (m.groupBy("doc_id")
-           .agg(F.sum("weighted").alias("score"),
+    # the AND membership count is size(collect_set(branch)) rather than
+    # count_distinct: a distinct aggregate alongside other aggs plans as
+    # Expand + TWO aggregation exchanges, while collect_set rides the one
+    # ObjectHashAggregate the match/qterms sets already pay (round 6).
+    # OR queries skip the count entirely — it was computed and discarded.
+    aggs = [F.sum("weighted").alias("score"),
+            F.array_sort(F.collect_set(
+                F.struct(F.col("branch"), F.col("rank"),
+                         F.col("derived_term").alias("term"),
+                         F.col("field_id")))).alias("match"),
+            F.array_distinct(F.transform(
                 F.array_sort(F.collect_set(
-                    F.struct(F.col("branch"), F.col("rank"),
-                             F.col("derived_term").alias("term"),
-                             F.col("field_id")))).alias("match"),
-                F.array_distinct(F.transform(
-                    F.array_sort(F.collect_set(
-                        F.struct(F.col("branch"), F.col("query_term")))),
-                    lambda s: s["query_term"])).alias("qterms"),
-                F.count_distinct("branch").alias("__n")))
+                    F.struct(F.col("branch"), F.col("query_term")))),
+                lambda s: s["query_term"])).alias("qterms")]
+    if op == "and":
+        aggs.append(F.size(F.collect_set("branch")).alias("__n"))
+    agg = m.groupBy("doc_id").agg(*aggs)
     if op == "and":
         agg = agg.where(F.col("__n") == len(branch_ids))
     return agg.select("doc_id", "score", "qterms", "match")
@@ -273,15 +279,18 @@ def combine_scored(scored: DataFrame, branch_ids: Sequence[int],
         return (left.join(rest, "doc_id", "left_anti")
                 .select("doc_id", "score", "qterms", "match"))
 
-    agg = (scored.groupBy("doc_id")
-           .agg(F.sum("score").alias("score"),
-                F.array_distinct(F.flatten(
-                    F.sort_array(F.collect_list(
-                        F.struct(F.col("branch"), F.col("qterms"))))
-                    .getField("qterms"))).alias("qterms"),
-                F.array_sort(F.array_distinct(F.flatten(
-                    F.collect_list("match")))).alias("match"),
-                F.count_distinct("branch").alias("__n")))
+    # size(collect_set) instead of count_distinct, and only for AND —
+    # see score_and_combine (a distinct agg costs an extra Exchange)
+    aggs = [F.sum("score").alias("score"),
+            F.array_distinct(F.flatten(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("branch"), F.col("qterms"))))
+                .getField("qterms"))).alias("qterms"),
+            F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("match")))).alias("match")]
+    if op == "and":
+        aggs.append(F.size(F.collect_set("branch")).alias("__n"))
+    agg = scored.groupBy("doc_id").agg(*aggs)
     if op == "and":
         agg = agg.where(F.col("__n") == len(branch_ids))
     return agg.select("doc_id", "score", "qterms", "match")
@@ -319,15 +328,18 @@ def combine_results(spark, branches: List[DataFrame], combine_with: str) -> Data
     for t in tagged[1:]:
         u = u.unionByName(t)
 
-    agg = (u.groupBy("doc_id")
-           .agg(F.sum("score").alias("score"),
-                F.array_distinct(F.flatten(
-                    F.sort_array(F.collect_list(
-                        F.struct(F.col("__branch_no"), F.col("qterms"))))
-                    .getField("qterms"))).alias("qterms"),
-                F.array_sort(F.array_distinct(F.flatten(
-                    F.collect_list("match")))).alias("match"),
-                F.count_distinct("__branch_no").alias("__n")))
+    # size(collect_set) instead of count_distinct, and only for AND —
+    # see score_and_combine (a distinct agg costs an extra Exchange)
+    aggs = [F.sum("score").alias("score"),
+            F.array_distinct(F.flatten(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("__branch_no"), F.col("qterms"))))
+                .getField("qterms"))).alias("qterms"),
+            F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("match")))).alias("match")]
+    if op == "and":
+        aggs.append(F.size(F.collect_set("__branch_no")).alias("__n"))
+    agg = u.groupBy("doc_id").agg(*aggs)
     if op == "and":
         agg = agg.where(F.col("__n") == len(branches))
     return agg.select("doc_id", "score", "qterms", "match")
