@@ -837,13 +837,17 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
                .cache())
     if pairs is None:
         pairs = near_dup_pairs(docs, text_col, id_col, **near_dup_kwargs)
+    # NOT distinct-ed: different raw pairs may quotient to the same
+    # (qa, qb), but duplicate edges are harmless — the driver union-find
+    # is idempotent and the distributed path runs edges.distinct()
+    # anyway — so the distinct here was one pure extra exchange (round 6)
     qpairs = (pairs
               .join(rep_map.select(F.col("u").alias("a"),
                                    F.col("rep").alias("qa")), "a")
               .join(rep_map.select(F.col("u").alias("b"),
                                    F.col("rep").alias("qb")), "b")
               .where(F.col("qa") != F.col("qb"))
-              .select("qa", "qb").distinct())
+              .select("qa", "qb"))
     labels = cluster_pairs(qpairs, "qa", "qb", max_iter)
     return (rep_map
             .join(labels.withColumnRenamed("doc_id", "rep"), "rep", "left")

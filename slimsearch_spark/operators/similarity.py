@@ -316,16 +316,15 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
     # per-vector projection with the norm computed ONCE (the verify would
     # otherwise fold |v| per candidate pair per side)
     e = (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
-         .withColumn("__n", _norm(F.col("__v")))
-         .cache())
+         .withColumn("__n", _norm(F.col("__v"))))
     eb = e.withColumn("__bucket", lsh_bucket_expr("__v", planes))
     melt = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
                  F.shiftright(F.col("__bucket"), b * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"))
         for b in range(n_bands)])
-    bands = (eb.select("vec_id", F.explode(melt).alias("b"))
-             .select("vec_id",
+    bands = (eb.select("vec_id", "__v", "__n", F.explode(melt).alias("b"))
+             .select("vec_id", "__v", "__n",
                      F.col("b.band_id").alias("band_id"),
                      F.col("b.band_val").alias("band_val")))
     if max_bucket:
@@ -333,32 +332,45 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
         w = Window.partitionBy("band_id", "band_val").orderBy("vec_id")
         bands = (bands.withColumn("__rn", F.row_number().over(w))
                  .where(F.col("__rn") <= max_bucket).drop("__rn"))
-        # capped buckets: collect the ≤cap member ids per bucket (the
-        # groupBy reuses the cap window's exchange — same keys, no new
-        # shuffle) and explode the i<j pairs — the round-1..5 self-join
-        # re-evaluated the 16-plane bucket projection AND the cap window
-        # on both sides plus two more exchanges (guide §2.4)
+        # capped buckets, simhash_near_dup's shape (round 6): the member
+        # structs carry (vec_id, vector, norm), so the i<j pair explode
+        # verifies the exact cosine IN-ROW — no candidate distinct, no
+        # semi-join, no per-side vector joins, no cached projection (one
+        # single chain). Per-bucket state is O(cap · dim) doubles —
+        # bounded by construction; the band shuffle ships each vector
+        # n_bands times, which at scale replaces TWO corpus-sized join
+        # scans of the verify. array_sort orders by vec_id (unique), so
+        # pairs are exactly the old l.vec_id < r.vec_id join's; the
+        # final distinct dedups pairs colliding in several bands.
         members = (bands.groupBy("band_id", "band_val")
-                   .agg(F.sort_array(F.collect_list("vec_id")).alias("ms"))
+                   .agg(F.array_sort(F.collect_list(F.struct(
+                       "vec_id", "__v", "__n"))).alias("ms"))
                    .where(F.size("ms") >= 2))
-        cands = (members.select(F.explode(F.expr(
+        pairs = members.select(F.explode(F.expr(
             "flatten(transform(ms, (x, i) -> "
             "transform(slice(ms, i + 2, size(ms) - i - 1), "
-            "y -> struct(x AS a, y AS b))))")).alias("p"))
-                 .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                 .distinct())
-    else:
-        left = bands.alias("l")
-        right = bands.alias("r")
-        # candidate (a, b) ids only, DEDUPED before the expensive verify —
-        # a pair colliding in several bands would otherwise fold its
-        # vectors once per band
-        cands = (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
-                           & (F.col("l.band_val") == F.col("r.band_val"))
-                           & (F.col("l.vec_id") < F.col("r.vec_id")))
-                 .select(F.col("l.vec_id").alias("a"),
-                         F.col("r.vec_id").alias("b"))
-                 .distinct())
+            "y -> struct(x AS l, y AS r))))")).alias("p"))
+        cos = (_dot(F.col("p.l.__v"), F.col("p.r.__v"))
+               / (F.col("p.l.__n") * F.col("p.r.__n")))
+        return (pairs
+                .select(F.col("p.l.vec_id").alias("a"),
+                        F.col("p.r.vec_id").alias("b"),
+                        F.round(cos, 6).alias("cosine"))
+                .where(F.col("cosine") >= threshold)
+                .distinct())
+    e = e.cache()  # the self-join + verify joins re-read it below
+    bands = bands.select("vec_id", "band_id", "band_val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    # candidate (a, b) ids only, DEDUPED before the expensive verify —
+    # a pair colliding in several bands would otherwise fold its
+    # vectors once per band
+    cands = (left.join(right, (F.col("l.band_id") == F.col("r.band_id"))
+                       & (F.col("l.band_val") == F.col("r.band_val"))
+                       & (F.col("l.vec_id") < F.col("r.vec_id")))
+             .select(F.col("l.vec_id").alias("a"),
+                     F.col("r.vec_id").alias("b"))
+             .distinct())
     cos = (_dot(F.col("__va"), F.col("__vb"))
            / (F.col("__na") * F.col("__nb")))
     return (cands
