@@ -475,14 +475,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # per action, so eager count() jobs bought nothing.
     sets = doc_shingle_sets(docs, shingle_n, text_col, id_col).cache()
     terms = sets.select("doc_id", F.explode("ts").alias("term"))
-    dfc = terms.groupBy("term").agg(F.count("*").alias("__df"))
-    # per-rare-shingle member lists (bounded ≤ max_shingle_df by the df
-    # filter): one groupBy reusing the semi-join's (term) clustering, then
-    # a narrow i<j pair explode — replaces the round-4/5 inverted-index
-    # SELF-JOIN, which recomputed and reshuffled the rare-term table on
-    # both sides (guide §2.4).
-    rmembers = (terms.join(dfc.where(F.col("__df") <= max_shingle_df)
-                           .select("term"), "term", "left_semi")
+    # ONE exchange on (term) serves the whole inverted index (round 6):
+    # document frequency as a window count, rare-member lists via a
+    # groupBy that reuses the window's clustering, and the capped
+    # (df > max_shingle_df) slice for the i_cap join as a filter over
+    # the same windowed rows — replacing the separate df aggregation
+    # plus the semi-join + groupBy re-shuffles of the terms table
+    # (guide §2.4). WindowExec buffers one term's group at a time and
+    # spills, so a boilerplate mega-term degrades to disk, not OOM.
+    tw = terms.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("term")))
+    rmembers = (tw.where(F.col("__df") <= max_shingle_df)
                 .groupBy("term")
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
                 .where(F.size("ds") >= 2))
@@ -503,8 +506,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
              .cache())
     # capped shingles shared by a candidate pair: the only part of the
     # intersection the candidate explode can't see
-    cterms = terms.join(dfc.where(F.col("__df") > max_shingle_df)
-                        .select("term"), "term", "left_semi")
+    cterms = tw.where(F.col("__df") > max_shingle_df).select("doc_id", "term")
     i_cap = (pairs.select("a", "b")
              .join(cterms.select(F.col("doc_id").alias("a"), "term"), "a")
              .join(cterms.select(F.col("doc_id").alias("b"), "term"),
