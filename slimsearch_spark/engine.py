@@ -40,6 +40,7 @@ from .operators.build import (assign_doc_ids, build_doc_stats, build_postings,
                               build_term_dict, corpus_stats,
                               corpus_stats_filling, tokenize_fields)
 from .oracle import js_round
+from .util import bounded_collect
 from .plans.scoring import (EXPANSION_SCHEMA, combine_results,
                             empty_result, score_and_combine)
 
@@ -439,7 +440,7 @@ class SparkSearchIndex:
         if threshold > 0:
             # one size-capped probe job: the driver never receives more
             # than threshold+1 rows, however many terms match
-            matched = cand.limit(threshold + 1).collect()
+            matched = bounded_collect(cand, threshold + 1)
             if len(matched) > threshold:
                 matched = None
         if matched is None:
@@ -1108,8 +1109,8 @@ class SparkSearchIndex:
             tombstones = list(self.tombstones)
             if self._tombstone_df is not None:
                 limit = int(tombstone_collect_threshold)
-                extra = (self._tombstone_df.select("doc_id")
-                         .limit(limit + 1).collect())
+                extra = bounded_collect(
+                    self._tombstone_df.select("doc_id"), limit + 1)
                 if len(extra) > limit:
                     raise ValueError(
                         "WAND path: discard_where tombstone set exceeds "
@@ -1225,9 +1226,10 @@ class SparkSearchIndex:
             # the df recount above
             pred = F.expr(flt) if isinstance(flt, str) else flt
             limit = int(filter_collect_threshold)
-            failing = (self.live_docs()
-                       .where(~F.coalesce(pred, F.lit(False)))
-                       .select("doc_id").limit(limit + 1).collect())
+            failing = bounded_collect(
+                self.live_docs()
+                .where(~F.coalesce(pred, F.lit(False)))
+                .select("doc_id"), limit + 1)
             if len(failing) > limit:
                 raise ValueError(
                     "search_topk_wand: filter excludes more than "

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import terms_col
+from ..util import bounded_collect
 
 # MinHash universal-hash constants: (a, b) per permutation, a odd and
 # < 2^30 so a·h32 + b < 2^62 (no 64-bit overflow under ANSI mode).
@@ -732,7 +733,7 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                         F.col(b_col).cast("long").alias("v"))
 
     if collect_threshold:
-        probe = half.limit(collect_threshold + 1).collect()
+        probe = bounded_collect(half, collect_threshold + 1)
         if len(probe) <= collect_threshold:
             parent: dict = {}
 
@@ -974,8 +975,8 @@ def near_dup_pairs_against_bands(new_docs: DataFrame,
         raw = (raw.withColumn("__rn", F.row_number().over(w))
                .where(F.col("__rn") <= max_bucket))
     cands = raw.select("a", "b").distinct().cache()
-    hit = (cands.select("b").distinct()
-           .limit(id_pushdown_limit + 1).collect())
+    hit = bounded_collect(cands.select("b").distinct(),
+                          id_pushdown_limit + 1)
     if len(hit) <= id_pushdown_limit:
         corpus_hit = corpus_docs.where(
             F.col(id_col).isin([r["b"] for r in hit]))

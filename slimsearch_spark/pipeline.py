@@ -37,7 +37,7 @@ from .operators.decontam import decontaminate
 from .operators.dedup import drop_near_duplicates
 from .operators.pii import pii_scrub
 from .operators.sampling import pack_token_budget, sample_deterministic
-from .operators.textstats import text_quality
+from .functions.tokenize import terms_col
 
 
 def prepare_training_corpus(docs: DataFrame,
@@ -104,12 +104,22 @@ def prepare_training_corpus(docs: DataFrame,
         docs = decontaminate(docs, benchmark, n=decontam_n,
                              text_col=text_col, id_col=id_col)
 
-    quality = (text_quality(docs, text_col, id_col)
-               .where((F.col("n_tokens") >= min_tokens)
-                      & (F.col("n_tokens") <= max_tokens)
-                      & (F.col("ttr") > min_ttr))
-               .select(F.col("doc_id").alias(id_col), "n_tokens"))
-    docs = docs.join(quality, id_col)
+    # quality gate as NARROW columns on the (scrubbed) corpus — the same
+    # n_tokens/ttr expressions text_quality computes (the operator both
+    # tests gate against), but applied in place: the earlier
+    # docs ⋈ text_quality(docs) form was a self-join that re-evaluated
+    # the whole PII-regex chain on both sides and paid a join exchange
+    # for columns derivable per-row (round 6, guide §2.2)
+    terms = terms_col(F.col(text_col))
+    docs = (docs
+            .withColumn("n_tokens", F.size(terms))
+            .withColumn("__ttr", F.round(
+                F.size(F.array_distinct(terms)) /
+                F.greatest(F.col("n_tokens"), F.lit(1)), 6))
+            .where((F.col("n_tokens") >= min_tokens)
+                   & (F.col("n_tokens") <= max_tokens)
+                   & (F.col("__ttr") > min_ttr))
+            .drop("__ttr"))
     gated = None
     if persist_gated:
         docs = gated = docs.persist(StorageLevel.MEMORY_AND_DISK)
