@@ -50,7 +50,9 @@ def _index(spark: SparkSession, sf_dir: str) -> SparkSearchIndex:
 
 
 def _search_scores(idx: SparkSearchIndex, query, **opts) -> DataFrame:
-    return (idx.search_df(query, **opts)
+    # with_stored=False: these entries keep only (doc_id, score), so the
+    # row-store join would be dead weight in every plan (engine.search_df)
+    return (idx.search_df(query, with_stored=False, **opts)
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
@@ -164,7 +166,7 @@ def q_wildcard_boosted(spark, sf_dir):
              .when(F.col("lang") == "fr", 1.5)
              .when(F.col("lang") == "de", F.lit(None))
              .otherwise(1.0))
-    return (idx.search_df(WILDCARD, boostDocument=boost)
+    return (idx.search_df(WILDCARD, boostDocument=boost, with_stored=False)
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
@@ -314,7 +316,7 @@ def q_wildcard(spark, sf_dir):
     """Q3: wildcard — every live doc, score 1."""
     from slimsearch_spark.config import WILDCARD
     idx = _index(spark, sf_dir)
-    return (idx.search_df(WILDCARD)
+    return (idx.search_df(WILDCARD, with_stored=False)
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
@@ -363,7 +365,7 @@ def q_bm25_query_tree(spark, sf_dir):
     tree = {"queries": [{"queries": ["spark join"], "combineWith": "AND"},
                         "merge"],
             "combineWith": "OR"}
-    return (idx.search_df(tree)
+    return (idx.search_df(tree, with_stored=False)
             .select("doc_id", F.round("score", 6).alias("score")))
 
 
@@ -376,7 +378,8 @@ def q_bm25_multifield(spark, sf_dir):
         _INDEX_CACHE[key] = SparkSearchIndex.build(
             _docs(spark, sf_dir), cfg, order_cols=["doc_id"])
     idx = _INDEX_CACHE[key]
-    return (idx.search_df("spark src3", boost={"source": 2.0})
+    return (idx.search_df("spark src3", boost={"source": 2.0},
+                          with_stored=False)
             .select("doc_id", F.round("score", 6).alias("score")))
 
 

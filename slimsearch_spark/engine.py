@@ -773,8 +773,20 @@ class SparkSearchIndex:
     def search_df(self, query, **options) -> DataFrame:
         """Distributed search plan → DataFrame(doc_id, <ext id>, score,
         qterms, match, <stored...>), quality-multiplied, sorted desc
-        (top-k via ``top_k`` option → TakeOrderedAndProject)."""
-        out = self._search_hits_df(query, options)
+        (top-k via ``top_k`` option → TakeOrderedAndProject).
+
+        ``with_stored=False`` skips the stored-fields row-store join
+        (output columns: doc_id, score, qterms, match) for consumers
+        that drop the stored columns anyway — scores and row set are
+        identical (the join only ATTACHES columns: every scored doc_id
+        is in the row store by construction), it just stops shipping
+        the row store through the plan (guide §1.2 / §2.3 — don't
+        compute what you throw away). Ignored when a ``filter`` option
+        needs the stored fields."""
+        with_stored = options.pop("with_stored", True)
+        out = self._search_hits_df(
+            query, options,
+            with_docs=with_stored or options.get("filter") is not None)
         if query is WILDCARD and options.get("boostDocument") is None:
             # all scores are 1 — skip the score sort; insertion (doc_id)
             # order matches the reference (src/search.ts:202-204)

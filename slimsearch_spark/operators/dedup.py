@@ -475,7 +475,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # TableCacheQueryStage materializes a shared InMemoryRelation once
     # per action, so eager count() jobs bought nothing.
     sets = doc_shingle_sets(docs, shingle_n, text_col, id_col).cache()
-    terms = sets.select("doc_id", F.explode("ts").alias("term"))
+    terms = sets.select("doc_id", "sz", F.explode("ts").alias("term"))
     # ONE exchange on (term) serves the whole inverted index (round 6):
     # document frequency as a window count, rare-member lists via a
     # groupBy that reuses the window's clustering, and the capped
@@ -486,9 +486,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # spills, so a boilerplate mega-term degrades to disk, not OOM.
     tw = terms.withColumn(
         "__df", F.count("*").over(Window.partitionBy("term")))
+    # member structs carry (doc_id, sz): the doc's shingle-set size rides
+    # the rare-member list through the pair explode, so the jaccard tail
+    # needs NO per-side sizes join back onto the (widest-in-the-operator)
+    # candidate-pair table — at scale those were two full joins keyed a
+    # then b (guide §2.3: move metadata with the keys, not via payload
+    # joins). array_sort orders by doc_id (unique per term), so pair
+    # order is unchanged.
     rmembers = (tw.where(F.col("__df") <= max_shingle_df)
                 .groupBy("term")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("doc_id", "sz"))).alias("ds"))
                 .where(F.size("ds") >= 2))
     # one pair row per shared rare shingle → count = |A∩B restricted to
     # rare|, exactly what the round-4 self-join's groupBy yielded. (A
@@ -501,9 +509,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     pairs = (rmembers.select(F.explode(F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x AS a, y AS b))))")).alias("p"))
-             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("__i_rare"))
+        "y -> struct(x AS l, y AS r))))")).alias("p"))
+             .select(F.col("p.l.doc_id").alias("a"),
+                     F.col("p.r.doc_id").alias("b"),
+                     F.col("p.l.sz").alias("__sz_a"),
+                     F.col("p.r.sz").alias("__sz_b"))
+             .groupBy("a", "b").agg(F.count("*").alias("__i_rare"),
+                                    F.first("__sz_a").alias("__sz_a"),
+                                    F.first("__sz_b").alias("__sz_b"))
              .cache())
     # capped shingles shared by a candidate pair: the only part of the
     # intersection the candidate explode can't see
@@ -513,15 +526,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
              .join(cterms.select(F.col("doc_id").alias("b"), "term"),
                    ["b", "term"])
              .groupBy("a", "b").agg(F.count("*").alias("__i_cap")))
-    sizes = sets.select("doc_id", F.col("sz").alias("__sz"))
     return (pairs
             .join(i_cap, ["a", "b"], "left")
             .fillna(0, ["__i_cap"])
             .withColumn("__i", F.col("__i_rare") + F.col("__i_cap"))
-            .join(sizes.select(F.col("doc_id").alias("a"),
-                               F.col("__sz").alias("__sz_a")), "a")
-            .join(sizes.select(F.col("doc_id").alias("b"),
-                               F.col("__sz").alias("__sz_b")), "b")
             .withColumn("jaccard",
                         F.col("__i") /
                         (F.col("__sz_a") + F.col("__sz_b") - F.col("__i")))

@@ -61,12 +61,30 @@ def _dot_sql(vec: str, weights: Sequence[float]) -> str:
             f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
 
 
+def _matrix_sql(rows: Sequence[Sequence[float]]) -> str:
+    """A 2-D literal ``array(array(...), ...)`` — the plane/centroid
+    matrix appears ONCE in the expression text instead of once per
+    row-unrolled term (round 6: the unrolled forms put 16×64 literal
+    doubles per plane-CASE / per-centroid-fold into every query's
+    expression tree — Catalyst analysis + codegen paid it per query)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in r) + ")"
+        for r in rows) + ")"
+
+
 def lsh_bucket_expr(vec_sql: str, planes: List[List[float]]):
     """Sign-bit bucket id: bit j = (v · h_j >= 0). ``vec_sql`` is the SQL
-    name of an array<double> column; the whole bucket is one SQL parse."""
-    bucket = " + ".join(
-        f"(CASE WHEN {_dot_sql(vec_sql, h)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, h in enumerate(planes))
+    name of an array<double> column; the whole bucket is one SQL parse.
+
+    The planes ship as one 2-D literal; per plane the dot product is the
+    identical zip_with + left fold ``_dot_sql`` unrolled (same IEEE op
+    sequence, bit-identical buckets), and the bit pack is a left-to-right
+    integer sum exactly like the unrolled CASE chain (round 6)."""
+    bucket = (
+        f"aggregate(transform({_matrix_sql(planes)}, "
+        f"(h, j) -> CASE WHEN aggregate(zip_with({vec_sql}, h, "
+        f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) >= 0 "
+        f"THEN shiftleft(1, j) ELSE 0 END), 0, (acc, x) -> acc + x)")
     return F.expr(bucket).cast("int")
 
 
@@ -136,7 +154,7 @@ def train_centroids_distributed(embeddings: DataFrame,
     ``ivf_centroids`` trains on a bounded driver sample (the FAISS-style
     default); this is the distributed refinement when sample bias
     matters: every iteration assigns ALL vectors with the same codegen'd
-    argmin expression the query path uses (``_ivf_assign_expr`` — JVM
+    argmin expression the query path uses (``_ivf_cell_col`` — JVM
     whole-stage, no Python), then recomputes means with ONE
     posexplode + (cell, dim) aggregation; only k·dim floats ever reach
     the driver per iteration. Empty cells keep their previous centroid
@@ -151,7 +169,7 @@ def train_centroids_distributed(embeddings: DataFrame,
     dim = len(C[0])
     base = embeddings.select(F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = base.withColumn("__cell", F.expr(_ivf_assign_expr(C)))
+        assigned = _ivf_cell_col(base, C)
         sums = (assigned
                 .select("__cell", F.posexplode("__v").alias("__d", "__x"))
                 .groupBy("__cell", "__d")
@@ -227,10 +245,10 @@ def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
                     sorted((d, i) for i, d in enumerate(qd))[:n_probe])
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = (embeddings
-           .select(F.col(id_col).alias("vec_id"), v.alias("__v"))
-           .withColumn("__cell",
-                       F.expr(_ivf_assign_expr(centroids)).cast("int"))
+    out = (_ivf_cell_col(
+               embeddings.select(F.col(id_col).alias("vec_id"),
+                                 v.alias("__v")), centroids)
+           .withColumn("__cell", F.col("__cell").cast("int"))
            .where(F.col("__cell").isin(probes))
            .select("vec_id",
                    F.round(cosine_col(F.col("__v"), query), 6)
@@ -240,13 +258,30 @@ def ivf_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
-def _ivf_assign_expr(centroids: List[List[float]]) -> str:
-    """argmin-of-squared-distance cell assignment as ONE SQL expression
+def _sq_dists_sql(vec: str, centroids: List[List[float]]) -> str:
+    """Array of Σ(v_i − c_i)² per centroid: the centroid matrix as ONE
+    2-D literal + a transform whose per-centroid body is the identical
+    left fold ``_sq_dist_sql`` unrolled — bit-identical distances, at a
+    fraction of the expression-tree size (round 6)."""
+    return (f"transform({_matrix_sql(centroids)}, c -> "
+            f"aggregate(zip_with({vec}, c, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (acc, x) -> acc + x))")
+
+
+def _ivf_cell_col(df: DataFrame, centroids: List[List[float]],
+                  vec: str = "__v") -> DataFrame:
+    """Append ``__cell`` = argmin-of-squared-distance assignment
     (first-index tiebreak) — shared by the live path, the saved layout and
-    (via the identical fold) the DuckDB oracle."""
-    dists = ", ".join(_sq_dist_sql("__v", c) for c in centroids)
-    return (f"array_position(array({dists}), "
-            f"array_min(array({dists}))) - 1")
+    (via the identical fold) the DuckDB oracle. The distance array is
+    materialized in its OWN projection so the argmin's two references
+    share one computation; the earlier single inline expression embedded
+    the whole k·dim fold tree twice (array_position + array_min), doubling
+    both the per-row work and the analyzed/codegen'd tree (round 6 —
+    CollapseProject keeps non-cheap projections separate)."""
+    return (df.withColumn("__dists", F.expr(_sq_dists_sql(vec, centroids)))
+            .withColumn("__cell", F.expr(
+                "array_position(__dists, array_min(__dists)) - 1"))
+            .drop("__dists"))
 
 
 def save_ivf_index(embeddings: DataFrame, path: str,
@@ -261,9 +296,9 @@ def save_ivf_index(embeddings: DataFrame, path: str,
     This is the "persist the cell as a partition column" step promised by
     ivf_topk's docstring (round-2 VERDICT #6)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    (embeddings
-     .select(F.col(id_col).alias("vec_id"), v.alias("__v"))
-     .withColumn("cell", F.expr(_ivf_assign_expr(centroids)).cast("int"))
+    (_ivf_cell_col(embeddings.select(F.col(id_col).alias("vec_id"),
+                                     v.alias("__v")), centroids)
+     .withColumn("cell", F.col("__cell").cast("int"))
      .select("vec_id", F.col("__v").alias(vec_col), "cell")
      .repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
