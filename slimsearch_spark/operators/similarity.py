@@ -381,7 +381,18 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.4,
                    .agg(F.array_sort(F.collect_list(F.struct(
                        "vec_id", "__v", "__n"))).alias("ms"))
                    .where(F.size("ms") >= 2))
-        pairs = members.select(F.explode(F.expr(
+        # spread the buckets before the pair explode: the member table is
+        # BOUNDED (≤ n_bands · 2^width · cap rows at any corpus size — the
+        # cap window truncates saturated buckets), so its byte size is
+        # tiny and AQE coalesces the agg exchange to 1-2 tasks — which
+        # then own the ENTIRE ×cap²/2 pair fan-out and the per-pair
+        # cosine (measured: the explode+verify stage ran on 2 of 32
+        # cores, 2.6 s of a 3.3 s operator). AQE sizes partitions by
+        # input bytes and cannot see a Generate's fan-out (guide §2.5);
+        # the explicit round-robin repartition of ≤64-ish fat rows is a
+        # one-hop shuffle of a bounded table, safe at every scale.
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        pairs = members.repartition(par).select(F.explode(F.expr(
             "flatten(transform(ms, (x, i) -> "
             "transform(slice(ms, i + 2, size(ms) - i - 1), "
             "y -> struct(x AS l, y AS r))))")).alias("p"))
