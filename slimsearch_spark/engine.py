@@ -196,9 +196,15 @@ class SparkSearchIndex:
                     f"{sorted(base_cols)}) — align store_fields")
         posts, stats, rows = [], [], []
         offset = 0
+        # denormalized field_len (build_postings) unions only if EVERY
+        # shard carries it; a saved-layout shard without it degrades the
+        # merged index to the doc_stats-join scoring path
+        have_fl = all("field_len" in ix.postings.columns for ix in indexes)
         for ix in indexes:
             tomb = ix._all_tombstones()
             p, s, d = ix.postings, ix.doc_stats, ix.docs
+            if not have_fl and "field_len" in p.columns:
+                p = p.drop("field_len")
             if tomb is not None:
                 p = p.join(tomb, "doc_id", "left_anti")
                 s = s.join(tomb, "doc_id", "left_anti")
@@ -1717,6 +1723,11 @@ class SparkSearchIndex:
         self._add_field_stats(sums)
         keep = ["doc_id", self.config.id_field] + \
             [f for f in self.config.store_fields if f in assigned.columns]
+        if "field_len" not in self.postings.columns:
+            # saved-layout postings lack the denormalized field_len
+            # (index_store strips it) — align the batch so the union
+            # stays well-formed; scoring falls back to the stats join
+            new_postings = new_postings.drop("field_len")
         if "bucket" in self.postings.columns and \
                 getattr(self, "_n_term_buckets", None):
             new_postings = new_postings.withColumn(
@@ -1844,7 +1855,9 @@ class SparkSearchIndex:
             o_post = o_post.join(tomb, "doc_id", "left_anti")
             o_stats = o_stats.join(tomb, "doc_id", "left_anti")
             o_docs = o_docs.join(tomb, "doc_id", "left_anti")
-        new_postings = (o_post.select("term", "field_id", "doc_id", "tf")
+        pcols = ["term", "field_id", "doc_id", "tf"] + (
+            ["field_len"] if "field_len" in o_post.columns else [])
+        new_postings = (o_post.select(*pcols)
                         .withColumn("doc_id", shifted))
         new_stats = (o_stats.select("doc_id", "field_id", "field_len")
                      .withColumn("doc_id", shifted))
@@ -1869,6 +1882,15 @@ class SparkSearchIndex:
             new_docs_rows = new_docs_rows.withColumn(
                 "doc_bucket", F.pmod(F.xxhash64(cfg.id_field),
                                      F.lit(self._n_doc_buckets)).cast("int"))
+        self_fl = "field_len" in self.postings.columns
+        new_fl = "field_len" in new_postings.columns
+        if self_fl and not new_fl:
+            # absorbing a saved-layout shard into a built index: degrade
+            # this index to the doc_stats-join scoring path rather than
+            # union NULL field_lens into the posting rows
+            self.postings = self.postings.drop("field_len")
+        elif new_fl and not self_fl:
+            new_postings = new_postings.drop("field_len")
         pre_postings, pre_stats = self.postings, self.doc_stats
         self.postings = self.postings.unionByName(new_postings).cache()
         self.doc_stats = self.doc_stats.unionByName(new_stats).cache()

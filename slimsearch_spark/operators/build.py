@@ -160,14 +160,24 @@ def tokenize_fields(docs: DataFrame, config: IndexConfig) -> DataFrame:
 
 
 def build_postings(tokenized: DataFrame) -> DataFrame:
-    """→ postings(term, field_id, doc_id, tf). One shuffle (hash agg with
-    map-side combine); key includes doc_id so stopword skew does not
-    concentrate — skew handling matters at the posting-list *pack* stage
-    (operators/compact.py), not here."""
+    """→ postings(term, field_id, doc_id, tf, field_len). One shuffle
+    (hash agg with map-side combine); key includes doc_id so stopword
+    skew does not concentrate — skew handling matters at the posting-list
+    *pack* stage (operators/compact.py), not here.
+
+    ``field_len`` rides along denormalized (round 6): the tokenized rows
+    already carry it, so ``first()`` in the same aggregate is free, and
+    every scoring plan can read BM25's length normalization straight off
+    the matched posting row instead of paying a postings ⋈ doc_stats
+    join per query (guide §2.4 — at scale that join shuffled or
+    broadcast the whole doc-stats table per search). Saved layouts strip
+    the column (index_store) — loaded indexes fall back to the join."""
     return (tokenized
-            .select("doc_id", "field_id", F.explode("terms").alias("term"))
+            .select("doc_id", "field_id", "field_len",
+                    F.explode("terms").alias("term"))
             .groupBy("term", "field_id", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf")))
+            .agg(F.count("*").cast("int").alias("tf"),
+                 F.first("field_len").alias("field_len")))
 
 
 def build_doc_stats(tokenized: DataFrame) -> DataFrame:

@@ -163,7 +163,12 @@ def compact_posting_lists(postings: DataFrame,
     if max_doc_id is None:
         max_doc_id = postings.agg(F.max("doc_id")).collect()[0][0] or 0
     if doc_stats is not None:
-        postings = postings.join(doc_stats, ["doc_id", "field_id"], "left")
+        if "field_len" not in postings.columns:
+            # saved-layout postings: fetch lengths via the stats join;
+            # built postings carry field_len denormalized (build_postings,
+            # round 6) and skip the join entirely
+            postings = postings.join(doc_stats, ["doc_id", "field_id"],
+                                     "left")
         postings = postings.withColumn(
             "field_len", F.coalesce("field_len", F.lit(0)))
         if avg_field_length is None:
@@ -174,6 +179,9 @@ def compact_posting_lists(postings: DataFrame,
         if bm25 is None:
             bm25 = dict(DEFAULT_BM25)
     else:
+        # no stats: parameter-free bound — fl=0 everywhere, even when the
+        # posting rows carry field_len (keeps the encoded bytes identical
+        # to the pre-denormalization layout)
         postings = postings.withColumn("field_len", F.lit(0))
         avg_field_length = None  # fl=0 everywhere → impact adds nothing
     avg_by_fid = ({int(k): float(v) for k, v in avg_field_length.items()}

@@ -94,7 +94,10 @@ def score_many(spark,
                                "field_id")
         m = m.withColumn("df", F.count("*").over(w).cast("double"))
 
-    m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
+    if "field_len" not in m.columns:
+        # saved-layout loads only — built postings carry field_len
+        # denormalized (build_postings, round 6)
+        m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
 
     avg_map = F.create_map(*[
         F.lit(x) for fid in searched_field_ids

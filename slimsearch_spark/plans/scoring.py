@@ -156,7 +156,12 @@ def _matched_scored(spark,
                         .agg(F.count("*").cast("double").alias("df")))
         m = m.join(F.broadcast(df_table), ["term", "field_id"], "inner")
 
-    m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
+    if "field_len" not in m.columns:
+        # postings without the denormalized field_len (saved-layout loads)
+        # fall back to the per-query doc_stats join; built indexes carry
+        # it on the posting row (build_postings, round 6 — one join fewer
+        # in every search plan)
+        m = m.join(doc_stats, ["doc_id", "field_id"], "inner")
 
     avg_map = F.create_map(*[F.lit(x) for fid in searched_field_ids
                              for x in (fid, float(avg_field_length.get(fid, 0.0)))])

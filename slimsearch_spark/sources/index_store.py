@@ -147,7 +147,12 @@ def save_index(index: SparkSearchIndex, path: str,
         live_stats = live_stats.join(live_tomb, "doc_id", "left_anti")
     live_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     live = index.live_postings()
-    postings_out = live.withColumn(
+    # the denormalized field_len (build_postings) stays an IN-MEMORY
+    # optimization: a saved layout keeps the normalized row postings so
+    # delta appends (which write raw_cols only) can never mix NULL
+    # field_lens into older files — loaded indexes score via the
+    # doc_stats join, exactly like the df-less loaded term dictionary
+    postings_out = (live.drop("field_len")).withColumn(
         "bucket", F.pmod(F.xxhash64("term"),
                          F.lit(layout.n_term_buckets)).cast("int"))
     (postings_out
