@@ -27,7 +27,10 @@ def _norm(a):
 
 
 def cosine_col(vec_col, query: Sequence[float]):
-    q = F.array(*[F.lit(float(x)) for x in query])
+    # one SQL parse for the query literal — per-element F.lit Columns
+    # cost a py4j round-trip each (same rationale as _dot_sql)
+    q = F.expr("array(" + ", ".join(repr(float(x)) + "D" for x in query)
+               + ")")
     qn = float(np.sqrt(np.dot(query, query)))
     return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
 
